@@ -1,0 +1,91 @@
+"""Benchmark driver: NTT throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: Montgomery field multiplications per second sustained by the
+radix-2 NTT over the reference's benchmark field (the 2^251+17*2^192+1
+prime, src/experiments/mod.rs:18-21) at N = 2^BENCH_LOG_N (default
+2^18). An NTT does (N/2)*log2(N) field muls. vs_baseline compares
+against BASELINE_MULS_PER_S - an estimate of the multicore Rust
+reference's sustained field-mul throughput (64-core CPU; ff_ce 4x u64
+Montgomery mul ~= 50ns/core -> ~1.3e9 mul/s ideal, derated 50% for
+memory traffic in the FFT -> 6.4e8). The reference publishes no numbers
+(BASELINE.md), so this anchor is an engineering estimate, stated here
+explicitly.
+
+Environment knobs:
+  BENCH_LOG_N   transform size exponent (default 18)
+  BENCH_REPS    timed repetitions (default 5)
+  BENCH_FIELD   F_STARK (default) | F_BLS | F257
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_hodor_bench"))
+
+import numpy as np
+
+from hodor_tpu.field import F257, F_BLS, F_STARK, ops_for
+from hodor_tpu.ntt import ntt
+
+BASELINE_MULS_PER_S = 6.4e8
+
+FIELDS = {"F_STARK": F_STARK, "F_BLS": F_BLS, "F257": F257}
+
+
+def main():
+    log_n = int(os.environ.get("BENCH_LOG_N", "18"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    field = FIELDS[os.environ.get("BENCH_FIELD", "F_STARK")]
+    n = 1 << log_n
+    ops = ops_for(field)
+
+    rng = np.random.default_rng(0)
+    # random canonical values < p via limbwise random u16 with a top-limb mask
+    limbs = rng.integers(0, 1 << 16, size=(n, ops.n16), dtype=np.uint32)
+    top_bits = field.num_bits - 16 * (ops.n16 - 1)
+    if top_bits <= 0:
+        limbs[:, -1] = 0
+    else:
+        limbs[:, -1] &= (1 << max(top_bits - 1, 1)) - 1
+    a = jax.device_put(limbs)
+
+    fn = jax.jit(lambda x: ntt(ops, x))
+    t0 = time.time()
+    fn(a).block_until_ready()
+    compile_s = time.time() - t0
+    print(f"# compile {compile_s:.1f}s on {jax.devices()[0]}", file=sys.stderr)
+
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        out = fn(a)
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps
+
+    muls = (n // 2) * log_n
+    value = muls / dt
+    print(
+        f"# ntt 2^{log_n} over {field.name}: {dt*1e3:.1f} ms/transform, "
+        f"{value:.3e} field-muls/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"ntt_2^{log_n}_{field.name}_field_muls_per_s_per_chip",
+                "value": value,
+                "unit": "field_muls/s",
+                "vs_baseline": value / BASELINE_MULS_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

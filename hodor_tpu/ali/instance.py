@@ -1,0 +1,404 @@
+"""ALIInstance: divisor precomputation, G composition, DEEP.
+
+Semantic port of src/ali/per_register/mod.rs and
+src/ali/per_register/deep.rs, restructured TPU-first:
+
+- challenge draws are hoisted out of the compute (the reference draws
+  (alpha, beta) per constraint *before* evaluating it, with no commits in
+  between - src/ali/per_register/mod.rs:425-432 - so the whole challenge
+  vector is derivable up front and the entire G computation becomes ONE
+  jitted device program);
+- the reference's per-term memoization of repeated (mask, power) coset
+  LDEs (:379-398) becomes explicit: the distinct (mask, power) pairs are
+  enumerated at instance build time and materialized as one batched
+  coset-LDE;
+- IndexMap/IndexSet insertion orders (protocol-critical for Fiat-Shamir)
+  are reproduced with Python dicts (insertion-ordered).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..air.constraint import (
+    Constraint,
+    DenseConstraint,
+    PolyvariateTerm,
+    Register,
+    StepDifference,
+    UnivariateTerm,
+)
+from ..arp import ARPInstance, InstanceProperties
+from ..domain import Domain
+from ..errors import SynthesisError
+from ..field.field import Field
+from ..field.limbs import LimbOps, ops_for
+from ..ntt import distribute_powers, evaluate_at, icoset_ntt, lde, ntt
+from ..transcript import Blake2sTranscript
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskProperties:
+    """(register, mask) pair (src/ali/mod.rs:30-41)."""
+
+    register_index: int
+    mask: int  # canonical field int (omega^steps)
+
+
+def get_masks_from_constraint(masks: Dict[MaskProperties, None], c: Constraint) -> None:
+    """IndexSet-ordered mask collection (src/ali/mod.rs:58-105)."""
+    for t in c.terms:
+        unis = [t] if isinstance(t, UnivariateTerm) else t.terms
+        for u in unis:
+            assert u.steps_difference.kind == "mask"
+            key = MaskProperties(u.register.index, u.steps_difference.value)
+            masks.setdefault(key, None)
+
+
+def get_mask_from_boundary_constraint(masks: Dict[MaskProperties, None], bc) -> None:
+    masks.setdefault(MaskProperties(bc.register.index, 1), None)
+
+
+def _density_key(d) -> Tuple:
+    if isinstance(d, DenseConstraint):
+        return ("dense", d.start_at, d.span)
+    raise NotImplementedError("only Dense density is implemented (as in the reference)")
+
+
+class ALIInstance:
+    """Precomputed ALI state + the two prover stages (G, DEEP)."""
+
+    def __init__(self, arp: ARPInstance):
+        props = arp.properties
+        self.properties = props
+        self.field: Field = props.field
+        self.ops: LimbOps = ops_for(self.field)
+        ops = self.ops
+
+        self.max_constraint_power = max((c.degree for c in props.constraints), default=1)
+        self.column_domain = Domain.new_for_size(self.field, props.num_rows)
+        self.constraints_domain = Domain.new_for_size(
+            self.field, self.column_domain.size * self.max_constraint_power
+        )
+
+        # ordered masks (constraints first, boundary last - matches the
+        # reference's IndexSet fill order, src/ali/per_register/mod.rs:53-57
+        # and :196-208)
+        masks: Dict[MaskProperties, None] = {}
+        for c in props.constraints:
+            get_masks_from_constraint(masks, c)
+
+        # ordered density batches (src/ali/per_register/mod.rs:163-171)
+        self.batches: Dict[Tuple, List[Constraint]] = {}
+        for c in props.constraints:
+            self.batches.setdefault(_density_key(c.density), []).append(c)
+
+        for bc in props.boundary_constraints:
+            get_mask_from_boundary_constraint(masks, bc)
+        self.all_masks: List[MaskProperties] = list(masks.keys())
+        self.mask_index = {m: i for i, m in enumerate(self.all_masks)}
+
+        # distinct (mask_idx, power) LDE requirements (the reference's
+        # WitnessEvaluationData memo key, src/ali/mod.rs:43-56)
+        self.term_ldes: Dict[Tuple[int, int], int] = {}
+        for c in props.constraints:
+            for t in c.terms:
+                unis = [t] if isinstance(t, UnivariateTerm) else t.terms
+                for u in unis:
+                    key = (
+                        self.mask_index[MaskProperties(u.register.index, u.steps_difference.value)],
+                        u.power,
+                    )
+                    self.term_ldes.setdefault(key, len(self.term_ldes))
+
+        # ---- device precomputations (one jitted program) ----
+
+        # coset values of the constraints domain (PrecomputedOmegas.coset,
+        # src/precomputations/mod.rs:48-60), inverse divisors per density
+        # batch (inverse_divisor_for_dense_constraint_in_coset,
+        # src/ali/per_register/mod.rs:60-192) and boundary divisors per
+        # distinct row (:210-227).
+        rows: Dict[int, None] = {}
+        for bc in props.boundary_constraints:
+            rows.setdefault(bc.at_row, None)
+        self._boundary_rows = list(rows.keys())
+
+        density_roots = {}
+        for key in self.batches:
+            _, start_at, span = key
+            g = self.column_domain.generator
+            roots = [self.field.pow(g, i) for i in range(start_at)]
+            roots += [
+                self.field.pow(g, i)
+                for i in range(props.num_rows - span, self.column_domain.size)
+            ]
+            density_roots[key] = ops.encode(roots)
+        boundary_roots = ops.encode(
+            [self.field.pow(self.column_domain.generator, r) for r in self._boundary_rows]
+        ) if self._boundary_rows else None
+
+        precomp = jax.jit(self._precompute_traced)(density_roots, boundary_roots)
+        self.coset_values = precomp["coset"]
+        self.constraint_divisors: Dict[Tuple, jnp.ndarray] = precomp["divisors"]
+        self.boundary_divisors: Dict[int, jnp.ndarray] = {
+            row: precomp["boundary"][i] for i, row in enumerate(self._boundary_rows)
+        }
+
+        self._g_fn = None
+        self._deep_fn = None
+
+    def _precompute_traced(self, density_roots, boundary_roots):
+        ops = self.ops
+        d_size = self.constraints_domain.size
+        coset = ops.powers(
+            ops.const(self.constraints_domain.generator),
+            d_size,
+            start=ops.const(self.field.generator),
+        )  # (D, L)
+
+        # Z(x) = x^T - 1 over the coset, inverted once and shared
+        xt = ops.pow_static(coset, self.column_domain.size)
+        z_vals = ops.sub(xt, jnp.broadcast_to(ops.one_m, xt.shape))
+
+        divisors = {}
+        for key, roots in density_roots.items():
+            inv = ops.batch_inverse(z_vals)
+            nroots = roots.shape[0]
+            for i in range(nroots):
+                inv = ops.mul(inv, ops.sub(coset, roots[i]))
+            divisors[key] = inv
+
+        if boundary_roots is not None:
+            # 1/(x - root) for every boundary row, one fused batch inverse
+            diffs = ops.sub(coset[None, :, :], boundary_roots[:, None, :])
+            nb = diffs.shape[0]
+            binv = ops.batch_inverse(diffs.reshape(nb * d_size, -1)).reshape(nb, d_size, -1)
+        else:
+            binv = jnp.zeros((0, d_size, ops.n16), jnp.uint32)
+        return {"coset": coset, "divisors": divisors, "boundary": binv}
+
+    # ------------------------------------------------------------------- G
+
+    def draw_g_challenges(self, transcript: Blake2sTranscript):
+        """Draw (alpha, beta) per constraint (in density-batch order) then
+        per boundary constraint - the exact reference order
+        (src/ali/per_register/mod.rs:425-432 and :482-487)."""
+        constraint_ch = []
+        for key, batch in self.batches.items():
+            for _ in batch:
+                a = transcript.get_challenge()
+                b = transcript.get_challenge()
+                constraint_ch.append((a, b))
+        boundary_ch = []
+        for _ in self.properties.boundary_constraints:
+            a = transcript.get_challenge()
+            b = transcript.get_challenge()
+            boundary_ch.append((a, b))
+        return constraint_ch, boundary_ch
+
+    def calculate_g(self, transcript: Blake2sTranscript, witness_coeffs) -> jnp.ndarray:
+        """witness_coeffs: (R, T, L). Returns G in coefficient form (D, L).
+        Draws challenges from the transcript exactly like the reference."""
+        constraint_ch, boundary_ch = self.draw_g_challenges(transcript)
+        ops = self.ops
+        c_alphas = ops.encode([a for a, _ in constraint_ch]) if constraint_ch else None
+        c_betas = ops.encode([b for _, b in constraint_ch]) if constraint_ch else None
+        b_alphas = ops.encode([a for a, _ in boundary_ch]) if boundary_ch else None
+        b_betas = ops.encode([b for _, b in boundary_ch]) if boundary_ch else None
+        if self._g_fn is None:
+            self._g_fn = jax.jit(self._calculate_g_traced)
+        divisors = {k: v for k, v in self.constraint_divisors.items()}
+        b_divisors = {k: v for k, v in self.boundary_divisors.items()}
+        return self._g_fn(witness_coeffs, c_alphas, c_betas, b_alphas, b_betas,
+                          divisors, b_divisors, self.coset_values)
+
+    def _calculate_g_traced(
+        self, witness_coeffs, c_alphas, c_betas, b_alphas, b_betas,
+        divisors, b_divisors, coset_values
+    ):
+        ops = self.ops
+        field = self.field
+        d_size = self.constraints_domain.size
+        t_size = self.column_domain.size
+        power_hint = self.max_constraint_power  # LDE factor for term evaluation
+        L = ops.n16
+
+        # 1. mask witness polys: f_m = witness[reg] with powers of mask
+        #    distributed (src/ali/per_register/mod.rs:276-290)
+        masked = []
+        for m in self.all_masks:
+            f = witness_coeffs[m.register_index]
+            if m.mask == 1:
+                masked.append(f)
+            else:
+                masked.append(distribute_powers(ops, f, ops.const(m.mask)))
+        # 2. batched coset-LDE of every distinct (mask, power) term
+        #    (the memoized evaluate_univariate_term_into_values, :356-421)
+        bases = jnp.stack([masked[mi] for (mi, _pw) in self.term_ldes], axis=0)
+        base_ldes = lde(ops, bases, power_hint, coset=True)  # (K, D, L)
+        term_vals = []
+        for k, (mi, pw) in enumerate(self.term_ldes):
+            term_vals.append(ops.pow_static(base_ldes[k], pw))
+        term_vals = jnp.stack(term_vals, axis=0)  # (K, D, L)
+
+        def adjustment_values(adj, alpha, beta):
+            # alpha * x^adj + beta over the coset (:292-308)
+            p = ops.pow_static(coset_values, adj)
+            return ops.add(ops.mul(p, alpha), jnp.broadcast_to(beta, p.shape))
+
+        g_values = jnp.broadcast_to(ops.zero_m, (d_size, L))
+        ci = 0
+        for key, batch in self.batches.items():
+            batch_values = jnp.broadcast_to(ops.zero_m, (d_size, L))
+            for c in batch:
+                alpha = c_alphas[ci]
+                beta = c_betas[ci]
+                ci += 1
+                cvals = jnp.broadcast_to(ops.const(c.constant_term % field.p), (d_size, L))
+                for t in c.terms:
+                    unis = [t] if isinstance(t, UnivariateTerm) else t.terms
+                    coeff = t.coeff
+                    prod = None
+                    for u in unis:
+                        k = self.term_ldes[
+                            (self.mask_index[MaskProperties(u.register.index, u.steps_difference.value)], u.power)
+                        ]
+                        v = term_vals[k]
+                        prod = v if prod is None else ops.mul(prod, v)
+                    if coeff % field.p != 1:
+                        prod = ops.mul(prod, ops.const(coeff % field.p))
+                    cvals = ops.add(cvals, prod)
+                adjustment = self.max_constraint_power - c.degree
+                if adjustment == 0:
+                    cvals = ops.mul(cvals, alpha)
+                else:
+                    cvals = ops.mul(cvals, adjustment_values(adjustment, alpha, beta))
+                batch_values = ops.add(batch_values, cvals)
+            batch_values = ops.mul(batch_values, divisors[key])
+            g_values = ops.add(g_values, batch_values)
+
+        # boundary constraints (:480-524)
+        for bi, bc in enumerate(self.properties.boundary_constraints):
+            alpha = b_alphas[bi]
+            beta = b_betas[bi]
+            wpoly = witness_coeffs[bc.register.index]
+            wpoly = wpoly.at[0].set(ops.sub(wpoly[0], ops.const(bc.value % field.p)))
+            cvals = lde(ops, wpoly, power_hint, coset=True)  # (D, L)
+            adjustment = self.max_constraint_power - 1
+            if adjustment == 0:
+                cvals = ops.mul(cvals, alpha)
+            else:
+                cvals = ops.mul(cvals, adjustment_values(adjustment, alpha, beta))
+            cvals = ops.mul(cvals, b_divisors[bc.at_row])
+            g_values = ops.add(g_values, cvals)
+
+        # G interpolant (:526)
+        return icoset_ntt(ops, g_values)
+
+    # ---------------------------------------------------------------- DEEP
+
+    def calculate_deep(
+        self,
+        witness_coeffs,  # (R, T, L)
+        f_ldes,  # (R, N_f, L)
+        g_poly,  # (D, L)
+        g_lde,  # (N_g, L)
+        transcript: Blake2sTranscript,
+    ):
+        """Returns (h1_lde, h2_lde, f_at_z_m: List[int], g_at_z: int).
+        Port of calculate_deep (src/ali/per_register/deep.rs:14-148)."""
+        ops = self.ops
+        field = self.field
+        z = transcript.get_challenge()
+
+        # evaluate witness polys at m*z per mask (deep.rs:33-55); device,
+        # but values must come to host before alphas are drawn? No - the
+        # reference draws each alpha after the corresponding evaluation but
+        # with no transcript commits in between, so the alpha sequence only
+        # depends on z; pre-draw all of them (deep.rs:78).
+        alphas = [transcript.get_challenge() for _ in self.all_masks]
+
+        roots = [field.mul(m.mask, z) for m in self.all_masks]
+        regs = [m.register_index for m in self.all_masks]
+
+        # The reference's batch_inversion returns Err when a divisor point
+        # falls in the evaluation domain (deep.rs:57-72, :129-146 via
+        # src/polynomials/mod.rs:889-954); replicate with an exact host
+        # check so a poisoned batch inverse can't silently corrupt DEEP.
+        from ..errors import DivisionByZeroError
+
+        n_f = f_ldes.shape[1]
+        n_g = g_lde.shape[0]
+        for root in roots:
+            if field.pow(root, n_f) == 1:
+                raise DivisionByZeroError("mask*z lies in the f-LDE domain")
+        if field.pow(z, n_g) == 1:
+            raise DivisionByZeroError("z lies in the g-LDE domain")
+
+        if self._deep_fn is None:
+            self._deep_fn = jax.jit(self._deep_traced, static_argnums=(5,))
+        h1_lde, h2_lde, f_at_z_m_dev, g_at_z_dev = self._deep_fn(
+            witness_coeffs,
+            f_ldes,
+            g_poly,
+            g_lde,
+            {
+                "z": ops.const(z),
+                "alphas": ops.encode(alphas),
+                "roots": ops.encode(roots),
+            },
+            tuple(regs),
+        )
+        f_at_z_m = [int(v) for v in ops.decode(f_at_z_m_dev)]
+        g_at_z = int(ops.decode(g_at_z_dev))
+        return h1_lde, h2_lde, f_at_z_m, g_at_z
+
+    def _deep_traced(self, witness_coeffs, f_ldes, g_poly, g_lde, scalars, regs):
+        ops = self.ops
+        field = self.field
+        n_f = f_ldes.shape[1]
+        n_g = g_lde.shape[0]
+        f_domain = Domain.new_for_size(field, n_f)
+        g_domain = Domain.new_for_size(field, n_g)
+        roots = scalars["roots"]  # (M, L)
+        alphas = scalars["alphas"]
+        z = scalars["z"]
+
+        # f(m*z) per mask: batched polynomial evaluation (deep.rs:53)
+        stacked = jnp.stack([witness_coeffs[r] for r in regs], axis=0)  # (M, T, L)
+        t_size = stacked.shape[1]
+        xpow = jax.vmap(lambda r: ops.powers(r, t_size))(roots)  # (M, T, L)
+        f_at_z_m = ops.sum_reduce(ops.mul(stacked, xpow), axis=1)  # (M, L)
+
+        # divisors 1/(x - m*z) on the f-LDE domain (deep.rs:57-72); the
+        # domain points are PLAIN Omega^i (evaluate_at_domain_for_degree_one,
+        # no coset shift)
+        xs_f = ops.powers(ops.const(f_domain.generator), n_f)  # (N_f, L)
+        diffs = ops.sub(xs_f[None, :, :], roots[:, None, :])  # (M, N_f, L)
+        m = diffs.shape[0]
+        inv = self._batched_inverse_2d(diffs.reshape(m * n_f, -1)).reshape(m, n_f, -1)
+
+        # h1 = sum_m alpha_m * (f_lde[reg] - f(mz)) / (x - mz) (deep.rs:74-84)
+        f_sel = jnp.stack([f_ldes[r] for r in regs], axis=0)  # (M, N_f, L)
+        num = ops.sub(f_sel, f_at_z_m[:, None, :])
+        term = ops.mul(ops.mul(num, alphas[:, None, :]), inv)
+        h1_lde = ops.sum_reduce(term, axis=0)  # (N_f, L)
+
+        # h2 = (g_lde - g(z)) / (x - z) on the g-LDE domain (deep.rs:129-146)
+        g_at_z = evaluate_at(ops, g_poly, z)
+        xs_g = ops.powers(ops.const(g_domain.generator), n_g)
+        den = self._batched_inverse_2d(ops.sub(xs_g, z))
+        h2_lde = ops.mul(ops.sub(g_lde, g_at_z), den)
+
+        return h1_lde, h2_lde, f_at_z_m, g_at_z
+
+    def _batched_inverse_2d(self, arr):
+        """In-trace batch inversion (Montgomery trick + one Fermat
+        inverse)."""
+        return self.ops.batch_inverse(arr)

@@ -1,0 +1,452 @@
+"""Device (JAX) prime-field arithmetic: u16-limb Montgomery kernels.
+
+The reference gets field arithmetic from ff_ce's derive-generated 4x u64
+Montgomery code (src/lib.rs:35-38). TPUs have no 64-bit integer multiply,
+so here every field element is a little-endian vector of 16-bit limbs
+stored in uint32 lanes (n16 = 4 * n64 limbs, so the Montgomery radix
+R = 2^(16*n16) = 2^(64*n64) matches ff_ce exactly and raw-repr bytes are
+bit-identical). All ops are elementwise over an arbitrary leading batch
+shape: arrays have shape (..., n16), dtype uint32, values in Montgomery
+form. Products of 16-bit limbs fit uint32 exactly; column sums are
+bounded by 2n * (2^16-1) + carries < 2^22, so uint32 accumulation never
+overflows.
+
+This is pure jnp (fusable by XLA on TPU); a Pallas fused-NTT variant
+lives in hodor_tpu/ntt.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .field import Field
+
+MASK16 = jnp.uint32(0xFFFF)
+
+
+# ---------------------------------------------------------------- packing
+
+def int_to_limbs(value: int, n16: int) -> np.ndarray:
+    return np.array([(value >> (16 * i)) & 0xFFFF for i in range(n16)], dtype=np.uint32)
+
+
+def limbs_to_int(limbs) -> int:
+    limbs = np.asarray(limbs, dtype=np.uint64)
+    return sum(int(l) << (16 * i) for i, l in enumerate(limbs))
+
+
+def pack_ints(values, n16: int) -> np.ndarray:
+    """Python ints (nested lists / 1-D / 2-D) -> (..., n16) uint32 limbs."""
+    arr = np.asarray(values, dtype=object)
+    out = np.empty(arr.shape + (n16,), dtype=np.uint32)
+    flat = arr.reshape(-1)
+    out_flat = out.reshape(-1, n16)
+    for i, v in enumerate(flat):
+        out_flat[i] = int_to_limbs(int(v), n16)
+    return out
+
+
+def unpack_ints(limbs) -> np.ndarray:
+    """(..., n16) uint32 limbs -> object array of Python ints."""
+    limbs = np.asarray(limbs)
+    shape = limbs.shape[:-1]
+    flat = limbs.reshape(-1, limbs.shape[-1])
+    out = np.empty(flat.shape[0], dtype=object)
+    for i in range(flat.shape[0]):
+        out[i] = limbs_to_int(flat[i])
+    return out.reshape(shape) if shape else out[0]
+
+
+# ------------------------------------------------------- low-level helpers
+
+def _carry_propagate(cols, n_out: int):
+    """cols: (..., >=n_out) uint32 with values < 2^22; returns (..., n_out)
+    fully carried 16-bit limbs (any final carry beyond n_out is dropped)."""
+    outs = []
+    carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
+    ncols = cols.shape[-1]
+    for k in range(n_out):
+        t = (cols[..., k] if k < ncols else jnp.zeros_like(carry)) + carry
+        outs.append(t & MASK16)
+        carry = t >> 16
+    return jnp.stack(outs, axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _conv_matrix_plain(n: int, n_out: int) -> np.ndarray:
+    """(n*n, n_out) 0/1 scatter: row i*n+j feeds column i+j (dropped if
+    >= n_out). For convolving SMALL-valued limbs without lo/hi splitting."""
+    e = np.zeros((n * n, n_out), dtype=np.int32)
+    for i in range(n):
+        for j in range(n):
+            if i + j < n_out:
+                e[i * n + j, i + j] = 1
+    return e
+
+
+@lru_cache(maxsize=None)
+def _conv_matrix_shift(n: int, n_out: int) -> np.ndarray:
+    """(n*n, n_out) 0/1 scatter: row i*n+j feeds column i+j+1."""
+    e = np.zeros((n * n, n_out), dtype=np.int32)
+    for i in range(n):
+        for j in range(n):
+            if i + j + 1 < n_out:
+                e[i * n + j, i + j + 1] = 1
+    return e
+
+
+def _dot_i32(flat, e):
+    return jax.lax.dot_general(
+        flat.astype(jnp.int32), jnp.asarray(e),
+        (((flat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.uint32)
+
+
+@lru_cache(maxsize=None)
+def _conv_matrix(n: int) -> np.ndarray:
+    """(2*n*n, 2n) 0/1 scatter matrix: row i*n+j of the `lo` half feeds
+    column i+j; row i*n+j of the `hi` half feeds column i+j+1. Turns the
+    schoolbook anti-diagonal sums into ONE int32 matmul (MXU/VPU-friendly
+    and tiny in HLO)."""
+    e = np.zeros((2 * n * n, 2 * n), dtype=np.int32)
+    for i in range(n):
+        for j in range(n):
+            e[i * n + j, i + j] = 1
+            hi_col = i + j + 1
+            if hi_col < 2 * n:
+                e[n * n + i * n + j, hi_col] = 1
+    return e
+
+
+def _mul_cols(a, b):
+    """Schoolbook column sums of two (..., n)-limb numbers -> (..., 2n)
+    uncarried columns (each < 2^22): split each 32-bit partial product
+    into 16-bit halves, then scatter-sum via one dot_general."""
+    n = a.shape[-1]
+    prod = a[..., :, None] * b[..., None, :]  # (..., n, n) uint32, exact
+    lo = prod & MASK16
+    hi = prod >> 16
+    flat = jnp.concatenate(
+        [lo.reshape(a.shape[:-1] + (n * n,)), hi.reshape(a.shape[:-1] + (n * n,))],
+        axis=-1,
+    ).astype(jnp.int32)
+    e = jnp.asarray(_conv_matrix(n))
+    cols = jax.lax.dot_general(
+        flat, e, (((flat.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return cols.astype(jnp.uint32)
+
+
+def _carryless_mul_cols_trunc(a, b, n_out: int):
+    """Column sums of a*b truncated to the low n_out columns (mod 2^(16*n_out)),
+    inputs proper 16-bit limbs, output relaxed columns < 2^21."""
+    n = a.shape[-1]
+    prod = a[..., :, None] * b[..., None, :]
+    lo = (prod & MASK16).reshape(a.shape[:-1] + (n * n,))
+    hi = (prod >> 16).reshape(a.shape[:-1] + (n * n,))
+    flat = jnp.concatenate([lo, hi], axis=-1)
+    e = np.concatenate(
+        [_conv_matrix_plain(n, n_out), _conv_matrix_shift(n, n_out)], axis=0
+    )
+    return _dot_i32(flat, e)
+
+
+def _mul_full(a, b):
+    """(..., n) x (..., n) -> (..., 2n) carried limbs of the full product."""
+    n = a.shape[-1]
+    return _carry_propagate(_mul_cols(a, b), 2 * n)
+
+
+def _mul_lo(a, b, n: int):
+    """Low n limbs of a*b (mod 2^(16n))."""
+    return _carry_propagate(_mul_cols(a, b), n)
+
+
+def _sub_with_borrow(a, b):
+    """Limbwise a - b; returns (diff limbs, borrow flag (0/1) per element)."""
+    n = a.shape[-1]
+    outs = []
+    borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
+    for k in range(n):
+        t = a[..., k] + jnp.uint32(0x10000) - b[..., k] - borrow
+        outs.append(t & MASK16)
+        borrow = jnp.uint32(1) - (t >> 16)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _add_limbs(a, b, n_out=None):
+    n = a.shape[-1]
+    if n_out is None:
+        n_out = n
+    return _carry_propagate(a + b, n_out)
+
+
+# --------------------------------------------------------------- LimbOps
+
+class LimbOps:
+    """Montgomery field ops over (..., n16) uint32 limb arrays.
+
+    Values are in Montgomery form (x * R mod p). `mul` is a full SOS
+    Montgomery multiply; `add`/`sub` are carried limb ops with conditional
+    +-p. Constants (p, p', R mod p, R^2 mod p ...) are baked in as numpy
+    arrays so everything traces into a single XLA graph.
+    """
+
+    def __init__(self, field: Field):
+        self.field = field
+        n16 = field.n16
+        self.n16 = n16
+        self.p_limbs = jnp.asarray(int_to_limbs(field.p, n16))
+        self.pinv_limbs = jnp.asarray(int_to_limbs(field.p_inv_neg, n16))
+        self.zero_m = jnp.asarray(int_to_limbs(0, n16))
+        self.one_m = jnp.asarray(int_to_limbs(field.R_mod_p, n16))
+        self.r2 = jnp.asarray(int_to_limbs(field.R2_mod_p, n16))
+        self.two_inv_m = jnp.asarray(
+            int_to_limbs(field.to_mont(field.inv(2)), n16)
+        )
+
+    # -- encode / decode (host) --
+
+    def encode(self, values) -> jnp.ndarray:
+        """Python ints (canonical) -> Montgomery limb array on device."""
+        f = self.field
+        vals = np.asarray(values, dtype=object)
+        mont = np.vectorize(lambda v: (int(v) * f.R) % f.p, otypes=[object])(vals)
+        return jnp.asarray(pack_ints(mont, self.n16))
+
+    def decode(self, limbs) -> np.ndarray:
+        """Montgomery limb array -> object ndarray of canonical ints."""
+        f = self.field
+        raw = unpack_ints(np.asarray(jax.device_get(limbs)))
+        rinv = pow(f.R, -1, f.p)
+        if isinstance(raw, np.ndarray):
+            return np.vectorize(lambda v: (int(v) * rinv) % f.p, otypes=[object])(raw)
+        return (int(raw) * rinv) % f.p
+
+    def const(self, value: int) -> jnp.ndarray:
+        """Single canonical int -> (n16,) Montgomery limbs."""
+        return jnp.asarray(int_to_limbs(self.field.to_mont(value), self.n16))
+
+    # -- core arithmetic (traceable) --
+
+    def _cond_sub_p(self, u):
+        diff, borrow = _sub_with_borrow(u, jnp.broadcast_to(self.p_limbs, u.shape))
+        return jnp.where((borrow == 0)[..., None], diff, u)
+
+    def add(self, a, b):
+        return self._cond_sub_p(_add_limbs(a, b))
+
+    def sub(self, a, b):
+        d, borrow = _sub_with_borrow(a, b)
+        corrected = _add_limbs(d, jnp.broadcast_to(self.p_limbs, d.shape))
+        return jnp.where((borrow == 1)[..., None], corrected, d)
+
+    def neg(self, a):
+        return self.sub(jnp.broadcast_to(self.zero_m, a.shape), a)
+
+    def mont_reduce(self, t):
+        """t: (..., 2n) carried limbs, t < p*R -> (..., n) = t * R^-1 mod p."""
+        n = self.n16
+        m = _mul_lo(t[..., :n], jnp.broadcast_to(self.pinv_limbs, t[..., :n].shape), n)
+        mp = _mul_full(m, jnp.broadcast_to(self.p_limbs, m.shape))
+        u = _add_limbs(t, mp, 2 * n)  # low n limbs are zero by construction
+        return self._cond_sub_p(u[..., n:])
+
+    def mul(self, a, b):
+        """Montgomery multiply with relaxed (uncarried) intermediates.
+
+        Keeps column sums un-normalized wherever exactness allows it, so
+        the graph has only TWO sequential carry chains (m-normalization,
+        n steps; final sum, 2n steps) instead of the naive five - this
+        roughly halves both the compiled HLO size and the runtime
+        critical path of every field multiply.
+        """
+        a, b = jnp.broadcast_arrays(a, b)
+        n = self.n16
+        t_cols = _mul_cols(a, b)  # (..., 2n) relaxed, < 2^22
+
+        # m = (t mod R) * p' mod R: split t's low columns into 16-bit and
+        # small-carry parts (value stays congruent mod R), convolve each
+        # with p', then normalize m with one n-step carry chain.
+        t_lo = t_cols[..., :n]
+        lo16 = t_lo & MASK16
+        hi6 = t_lo >> 16  # < 2^6
+        pinv = jnp.broadcast_to(self.pinv_limbs, lo16.shape)
+        m_cols = _carryless_mul_cols_trunc(lo16, pinv, n)
+        hi_prod = (hi6[..., :, None] * pinv[..., None, :]).reshape(
+            lo16.shape[:-1] + (n * n,)
+        )
+        m_cols = m_cols + _dot_i32(hi_prod, _conv_matrix_shift(n, n))
+        m = _carry_propagate(m_cols, n)  # exact 16-bit limbs of m
+
+        # u = t + m*p, all relaxed; one 2n-step chain then >>16n, cond-sub
+        mp_cols = _mul_cols(m, jnp.broadcast_to(self.p_limbs, m.shape))
+        u = _carry_propagate(t_cols + mp_cols, 2 * n)
+        return self._cond_sub_p(u[..., n:])
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def pow_static(self, a, e: int):
+        """a^e for a STATIC Python-int exponent (square-and-multiply,
+        unrolled at trace time). Use only for small or power-of-two e."""
+        if e == 0:
+            return jnp.broadcast_to(self.one_m, a.shape)
+        result = None
+        base = a
+        while e:
+            if e & 1:
+                result = base if result is None else self.mul(result, base)
+            e >>= 1
+            if e:
+                base = self.square(base)
+        return result
+
+    def to_mont_arr(self, canonical_limbs):
+        """Canonical-form limbs -> Montgomery form (mul by R^2)."""
+        return self.mul(canonical_limbs, jnp.broadcast_to(self.r2, canonical_limbs.shape))
+
+    def from_mont_arr(self, mont_limbs):
+        """Montgomery form -> canonical-form limbs (Montgomery reduce by 1)."""
+        n = self.n16
+        t = jnp.concatenate(
+            [mont_limbs, jnp.zeros(mont_limbs.shape[:-1] + (n,), jnp.uint32)], axis=-1
+        )
+        return self.mont_reduce(t)
+
+    def is_zero(self, a):
+        """Boolean mask (...,) - works for Montgomery or canonical form."""
+        return jnp.all(a == 0, axis=-1)
+
+    def select(self, mask, a, b):
+        """mask (...,) bool -> where(mask, a, b) elementwise over limbs."""
+        return jnp.where(mask[..., None], a, b)
+
+    # -- derived bulk ops --
+
+    def powers(self, x, n: int, start=None):
+        """[s, s*x, s*x^2, ..., s*x^(n-1)] for scalar limb x (Montgomery).
+
+        Log-doubling: log2(n) vectorized steps; n need not be a power of 2.
+        `start` defaults to 1.
+        """
+        s = self.one_m if start is None else start
+        out = s[None, :]
+        step = x  # x^(2^k) after k doublings
+        total = 1
+        while total < n:
+            take = min(total, n - total)
+            nxt = self.mul(out[:take], step[None, :])
+            out = jnp.concatenate([out, nxt], axis=0)
+            if total * 2 < n:
+                step = self.square(step)
+            total *= 2
+        return out[:n]
+
+    def sum_reduce(self, arr, axis=0):
+        """Field sum along an axis via a binary tree of modular adds."""
+        n = arr.shape[axis]
+        arr = jnp.moveaxis(arr, axis, 0)
+        while n > 1:
+            half = n // 2
+            paired = self.add(arr[:half], arr[half : 2 * half])
+            if n % 2:
+                paired = jnp.concatenate([paired, arr[2 * half : n]], axis=0)
+            arr = paired
+            n = paired.shape[0]
+        return arr[0]
+
+    def prod_scan(self, arr, reverse: bool = False):
+        """Inclusive prefix products along axis 0 (Hillis-Steele: log2(n)
+        full-array muls, minimal HLO)."""
+        n = arr.shape[0]
+        ones = jnp.broadcast_to(self.one_m, arr.shape)
+        shift = 1
+        while shift < n:
+            if reverse:
+                shifted = jnp.concatenate([arr[shift:], ones[:shift]], axis=0)
+            else:
+                shifted = jnp.concatenate([ones[:shift], arr[:-shift]], axis=0)
+            arr = self.mul(arr, shifted)
+            shift *= 2
+        return arr
+
+    def inv_fermat(self, x):
+        """x^(p-2) via a fori_loop over the exponent bits (traced once, so
+        the graph stays small; ~2*nbits sequential tiny muls at runtime).
+        Intended for SINGLE elements or small batches - for large arrays
+        use `batch_inverse` (Montgomery's trick + one Fermat inverse)."""
+        e = self.field.p - 2
+        nbits = e.bit_length()
+        bits = jnp.asarray(
+            np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=np.uint32)
+        )
+
+        def body(i, acc):
+            acc = self.square(acc)
+            with_mul = self.mul(acc, x)
+            return jnp.where((bits[i] == 1)[..., None], with_mul, acc)
+
+        init = jnp.broadcast_to(self.one_m, x.shape)
+        return jax.lax.fori_loop(0, nbits, body, init)
+
+    def batch_inverse(self, arr):
+        """Elementwise inverse of (N, n16) via Montgomery's trick.
+
+        Mirrors Polynomial::batch_inversion (src/polynomials/mod.rs:889-954)
+        with log-depth scans and a single Fermat inversion of the grand
+        product. Fully traceable (no host round trip). NOTE: unlike the
+        reference (which returns Err), a zero element yields garbage in
+        trace mode - call `assert_nonzero` outside jit where the reference
+        semantics matter.
+        """
+        prefix = self.prod_scan(arr)  # P[i] = a0*...*ai
+        total_inv = self.inv_fermat(prefix[-1])
+        return self._batch_inverse_tail(arr, prefix, total_inv)
+
+    def assert_nonzero(self, arr):
+        """Host-side check matching the reference's Err on zero elements."""
+        if bool(jnp.any(self.is_zero(arr))):
+            from ..errors import DivisionByZeroError
+
+            raise DivisionByZeroError("batch inversion of a zero element")
+
+    def _batch_inverse_tail(self, arr, prefix, total_inv):
+        # suffix[i] = a_i * ... * a_{n-1}
+        suffix = self.prod_scan(arr, reverse=True)
+        n = arr.shape[0]
+        # inv(a_i) = P[i-1] * S[i+1] * total_inv
+        left = jnp.concatenate([self.one_m[None, :], prefix[: n - 1]], axis=0)
+        right = jnp.concatenate([suffix[1:], self.one_m[None, :]], axis=0)
+        return self.mul(self.mul(left, right), total_inv)
+
+    # -- jitted entry points for direct use --
+
+    @partial(jax.jit, static_argnums=0)
+    def jadd(self, a, b):
+        return self.add(a, b)
+
+    @partial(jax.jit, static_argnums=0)
+    def jsub(self, a, b):
+        return self.sub(a, b)
+
+    @partial(jax.jit, static_argnums=0)
+    def jmul(self, a, b):
+        return self.mul(a, b)
+
+    def __hash__(self):
+        return hash(self.field)
+
+    def __eq__(self, other):
+        return isinstance(other, LimbOps) and other.field == self.field
+
+
+@lru_cache(maxsize=None)
+def ops_for(field: Field) -> LimbOps:
+    return LimbOps(field)

@@ -1,0 +1,355 @@
+"""FRI prover (by values + by coefficients), query producer, verifier.
+
+The fold recurrence per round i over values v of length K
+(src/fri/fri_on_values.rs:61-119):
+
+    next[j] = (v[j] + v[j+K/2] + c * w^{-j*2^i} * (v[j] - v[j+K/2])) / 2
+
+with w the FULL lde-domain generator; each round Merkle-commits `next`
+and derives the next challenge from the root. On TPU a round is one
+fused elementwise kernel over the halved array plus a device Merkle
+build; the Fiat-Shamir root -> challenge step is the only host sync.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..domain import (
+    Domain,
+    coset_for_natural_index_and_size,
+    index_and_size_for_next_domain,
+    log2_floor,
+)
+from ..errors import InvalidValueError, SynthesisError
+from ..field.field import Field
+from ..field.limbs import LimbOps, ops_for
+from ..merkle.tree import IopQuery, MerkleTree, verify_path
+from ..ntt import intt, lde
+
+
+@dataclasses.dataclass
+class FRIProofPrototype:
+    """All intermediate commitments/values (reference FRIProofPrototype,
+    src/fri/mod.rs:106-125). Values stay on device in Montgomery form."""
+
+    l0_commitment: MerkleTree
+    intermediate_commitments: List[MerkleTree]
+    intermediate_values: List[jnp.ndarray]  # each (K, L) Montgomery
+    challenges: List[int]
+    final_root: bytes
+    final_coefficients: List[int]
+    initial_degree_plus_one: int
+    output_coeffs_at_degree_plus_one: int
+    lde_factor: int
+
+    def get_roots(self) -> List[bytes]:
+        return [self.l0_commitment.get_root()] + [
+            c.get_root() for c in self.intermediate_commitments
+        ]
+
+    def get_final_root(self) -> bytes:
+        return self.final_root
+
+    def get_final_coefficients(self) -> List[int]:
+        return list(self.final_coefficients)
+
+
+@dataclasses.dataclass
+class FRIProof:
+    """Queries + roots + final coefficients (reference FRIProof,
+    src/fri/mod.rs:139-153)."""
+
+    queries: List[IopQuery]
+    roots: List[bytes]
+    final_coefficients: List[int]
+    initial_degree_plus_one: int
+    output_coeffs_at_degree_plus_one: int
+    lde_factor: int
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _fold_round(ops: LimbOps, values, challenge_limbs, stride: int, omegas_inv):
+    """One FRI fold (src/fri/fri_on_values.rs:70-105). values: (K, L)."""
+    k = values.shape[0]
+    half = k // 2
+    lo, hi = values[:half], values[half:]
+    v_even = ops.add(lo, hi)
+    v_odd = ops.mul(ops.sub(lo, hi), omegas_inv[::stride][:half])
+    folded = ops.mul(ops.add(v_even, ops.mul(v_odd, challenge_limbs)), ops.two_inv_m)
+    return folded
+
+
+class NaiveFriIop:
+    """Reference NaiveFriIop<F, TrivialBlake2sIOP> (src/fri/mod.rs:64-104)."""
+
+    DEGREE = 2
+
+    # --------------------------------------------------------- prover
+
+    @staticmethod
+    def proof_from_lde(lde_values, lde_factor: int, output_coeffs_at_degree_plus_one: int,
+                       field: Field) -> FRIProofPrototype:
+        return NaiveFriIop.proof_from_lde_by_values(
+            lde_values, lde_factor, output_coeffs_at_degree_plus_one, field
+        )
+
+    @staticmethod
+    def proof_from_lde_by_values(
+        lde_values, lde_factor: int, output_coeffs_at_degree_plus_one: int, field: Field
+    ) -> FRIProofPrototype:
+        """lde_values: (N, L) Montgomery device array.
+        Port of src/fri/fri_on_values.rs:11-163."""
+        ops = ops_for(field)
+        n = lde_values.shape[0]
+        assert output_coeffs_at_degree_plus_one & (output_coeffs_at_degree_plus_one - 1) == 0
+        assert lde_factor & (lde_factor - 1) == 0
+
+        l0 = MerkleTree.create(lde_values, field)
+        domain = Domain.new_for_size(field, n)
+        omegas_inv = ops.powers(ops.const(domain.generator_inv), n // 2)  # (N/2, L)
+
+        initial_degree_plus_one = n // lde_factor
+        num_steps = log2_floor(initial_degree_plus_one // output_coeffs_at_degree_plus_one)
+
+        challenges = [l0.get_challenge_scalar_from_root()]
+        intermediate_commitments: List[MerkleTree] = []
+        intermediate_values: List[jnp.ndarray] = []
+        roots: List[bytes] = []
+
+        values = lde_values
+        for i in range(num_steps):
+            folded = _fold_round(ops, values, ops.const(challenges[-1]), 1 << i, omegas_inv)
+            tree = MerkleTree.create(folded, field)
+            roots.append(tree.get_root())
+            challenges.append(tree.get_challenge_scalar_from_root())
+            intermediate_commitments.append(tree)
+            intermediate_values.append(folded)
+            values = folded
+
+        challenges.pop()  # final challenge unnecessary (fri_on_values.rs:122)
+        final_root = roots[-1] if roots else l0.get_root()
+
+        final_coeffs_dev = intt(ops, values)
+        final_coeffs = [int(v) for v in ops.decode(final_coeffs_dev)][
+            :output_coeffs_at_degree_plus_one
+        ]
+
+        return FRIProofPrototype(
+            l0_commitment=l0,
+            intermediate_commitments=intermediate_commitments,
+            intermediate_values=intermediate_values,
+            challenges=challenges,
+            final_root=final_root,
+            final_coefficients=final_coeffs,
+            initial_degree_plus_one=initial_degree_plus_one,
+            output_coeffs_at_degree_plus_one=output_coeffs_at_degree_plus_one,
+            lde_factor=lde_factor,
+        )
+
+    @staticmethod
+    def proof_from_lde_through_coefficients(
+        lde_values, lde_factor: int, output_coeffs_at_degree_plus_one: int, field: Field
+    ) -> FRIProofPrototype:
+        """Test cross-check prover (src/fri/mod.rs:156-249): fold in
+        coefficient space, re-LDE and commit each round."""
+        ops = ops_for(field)
+        n = lde_values.shape[0]
+        l0 = MerkleTree.create(lde_values, field)
+        initial_degree_plus_one = n // lde_factor
+        num_steps = log2_floor(initial_degree_plus_one // output_coeffs_at_degree_plus_one)
+
+        coeffs = intt(ops, lde_values)[:initial_degree_plus_one]
+        challenges = [l0.get_challenge_scalar_from_root()]
+        intermediate_commitments: List[MerkleTree] = []
+        intermediate_values: List[jnp.ndarray] = []
+        roots: List[bytes] = []
+
+        for _ in range(num_steps):
+            c = ops.const(challenges[-1])
+            # next[j] = a_{2j} + challenge * a_{2j+1}
+            even, odd = coeffs[0::2], coeffs[1::2]
+            coeffs = ops.add(even, ops.mul(odd, c))
+            values = lde(ops, coeffs, lde_factor)
+            tree = MerkleTree.create(values, field)
+            roots.append(tree.get_root())
+            challenges.append(tree.get_challenge_scalar_from_root())
+            intermediate_commitments.append(tree)
+            intermediate_values.append(values)
+
+        challenges.pop()
+        final_root = roots[-1] if roots else l0.get_root()
+        final_coeffs = [int(v) for v in ops.decode(coeffs)]
+        assert len(final_coeffs) == output_coeffs_at_degree_plus_one
+
+        return FRIProofPrototype(
+            l0_commitment=l0,
+            intermediate_commitments=intermediate_commitments,
+            intermediate_values=intermediate_values,
+            challenges=challenges,
+            final_root=final_root,
+            final_coefficients=final_coeffs,
+            initial_degree_plus_one=initial_degree_plus_one,
+            output_coeffs_at_degree_plus_one=output_coeffs_at_degree_plus_one,
+            lde_factor=lde_factor,
+        )
+
+    # --------------------------------------------------- query producer
+
+    @staticmethod
+    def prototype_into_proof(
+        prototype: FRIProofPrototype, iop_values, natural_first_element_index: int, field: Field
+    ) -> FRIProof:
+        """Walk all rounds producing coset queries
+        (src/fri/query_producer.rs:10-53). iop_values is the (N, L) device
+        array committed in l0."""
+        ops = ops_for(field)
+        domain_size = prototype.initial_degree_plus_one * prototype.lde_factor
+        domain_idx = natural_first_element_index
+
+        queries: List[IopQuery] = []
+        roots: List[bytes] = []
+
+        trees = [prototype.l0_commitment] + list(prototype.intermediate_commitments)
+        values = [iop_values] + list(prototype.intermediate_values)
+
+        for tree, vals in zip(trees, values):
+            coset = coset_for_natural_index_and_size(domain_idx, domain_size)
+            for idx in coset:
+                value = int(ops.decode(vals[idx]))
+                queries.append(IopQuery(index=idx, value=value, path=tree.get_path(idx)))
+            roots.append(tree.get_root())
+            domain_idx, domain_size = index_and_size_for_next_domain(domain_idx, domain_size)
+
+        return FRIProof(
+            queries=queries,
+            roots=roots,
+            final_coefficients=prototype.get_final_coefficients(),
+            initial_degree_plus_one=prototype.initial_degree_plus_one,
+            output_coeffs_at_degree_plus_one=prototype.output_coeffs_at_degree_plus_one,
+            lde_factor=prototype.lde_factor,
+        )
+
+    # --------------------------------------------------------- verifier
+
+    @staticmethod
+    def verify_proof(proof: FRIProof, natural_element_index: int, expected_value: int,
+                     field: Field) -> bool:
+        return NaiveFriIop.verify_proof_queries(
+            proof, natural_element_index, NaiveFriIop.DEGREE, expected_value, field
+        )
+
+    @staticmethod
+    def verify_proof_queries(
+        proof: FRIProof, natural_element_index: int, degree: int, expected_value: int,
+        field: Field
+    ) -> bool:
+        """Host scalar re-fold per query (src/fri/verifier.rs:131-289)."""
+        p = field.p
+        two_inv = field.inv(2)
+        domain = Domain.new_for_size(field, proof.initial_degree_plus_one * proof.lde_factor)
+        domain_element = field.pow(domain.generator, natural_element_index)
+        if field.pow(domain_element, domain.size) != 1:
+            raise InvalidValueError("challenge element not in LDE domain")
+        if field.pow(domain_element, domain.size // 2) == 1:
+            raise InvalidValueError("challenge element not in LDE domain")
+
+        omega = domain.generator
+        omega_inv = field.inv(omega)
+        expected = None
+        domain_size = domain.size
+        domain_idx = natural_element_index
+
+        if len(proof.queries) % degree != 0:
+            raise InvalidValueError("invalid number of queries")
+
+        for round_idx, root in enumerate(proof.roots):
+            qs = proof.queries[round_idx * degree : (round_idx + 1) * degree]
+            coset = coset_for_natural_index_and_size(domain_idx, domain_size)
+            if len(coset) != 2:
+                raise InvalidValueError("invalid coset size")
+            for q in qs:
+                if q.natural_index not in coset:
+                    return False
+            if round_idx == 0:
+                for q in qs:
+                    if q.natural_index == natural_element_index and q.value != expected_value:
+                        return False
+            for c, q in zip(coset, qs):
+                if q.tree_index != c:
+                    raise InvalidValueError("invalid tree index")
+            for q in qs:
+                if not verify_path(root, q.value, q.path, q.tree_index, field):
+                    return False
+
+            challenge = field.from_be_with_shave(root)
+            f_at_omega = qs[0].value
+            if expected is not None:
+                if domain_idx not in coset:
+                    return False
+                matching = [q for q in qs if q.natural_index == domain_idx]
+                if len(matching) != 1 or matching[0].value != expected:
+                    return False
+            f_at_minus_omega = qs[1].value
+            divisor = field.pow(omega_inv, coset[0])
+            v_even = (f_at_omega + f_at_minus_omega) % p
+            v_odd = (f_at_omega - f_at_minus_omega) * divisor % p
+            expected = (v_even + challenge * v_odd) * two_inv % p
+
+            domain_idx, domain_size = index_and_size_for_next_domain(domain_idx, domain_size)
+            omega = field.mul(omega, omega)
+            omega_inv = field.mul(omega_inv, omega_inv)
+
+        # final Horner check against the committed coefficients
+        point = field.pow(omega, domain_idx)
+        acc, power = 0, 1
+        for c in proof.final_coefficients:
+            acc = (acc + power * c) % p
+            power = power * point % p
+        return acc == expected
+
+    @staticmethod
+    def verify_prototype(prototype: FRIProofPrototype, leaf_values, natural_element_index: int,
+                         field: Field) -> bool:
+        """Full-values verifier for tests (src/fri/verifier.rs:10-129)."""
+        ops = ops_for(field)
+        p = field.p
+        two_inv = field.inv(2)
+        domain = Domain.new_for_size(field, prototype.initial_degree_plus_one * prototype.lde_factor)
+        omega = domain.generator
+        omega_inv = field.inv(omega)
+        expected = None
+        domain_size = domain.size
+        domain_idx = natural_element_index
+
+        all_values = [leaf_values] + list(prototype.intermediate_values)
+        for vals, challenge in zip(all_values, prototype.challenges):
+            coset = coset_for_natural_index_and_size(domain_idx, domain_size)
+            f_at_omega = int(ops.decode(vals[coset[0]]))
+            if expected is not None:
+                if domain_idx not in coset:
+                    return False
+                supplied = int(ops.decode(vals[domain_idx]))
+                if supplied != expected:
+                    return False
+            f_at_minus_omega = int(ops.decode(vals[coset[1]]))
+            divisor = field.pow(omega_inv, coset[0])
+            v_even = (f_at_omega + f_at_minus_omega) % p
+            v_odd = (f_at_omega - f_at_minus_omega) * divisor % p
+            expected = (v_even + challenge * v_odd) * two_inv % p
+            domain_idx, domain_size = index_and_size_for_next_domain(domain_idx, domain_size)
+            omega = field.mul(omega, omega)
+            omega_inv = field.mul(omega_inv, omega_inv)
+
+        point = field.pow(omega, domain_idx)
+        acc, power = 0, 1
+        for c in prototype.final_coefficients:
+            acc = (acc + power * c) % p
+            power = power * point % p
+        return acc == expected

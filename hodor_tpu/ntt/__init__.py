@@ -1,0 +1,262 @@
+"""Number-theoretic transforms on device.
+
+The reference's FFT kernel zoo (src/fft/fft.rs radix-2, radix4_fft,
+dit_fft pruning, lde.rs filtering-LDE, prefetch variants) collapses on
+TPU into one batched, vectorized NTT expressed over limb arrays, plus an
+LDE built the way the reference's `lde_using_multiple_cosets` does it
+(src/polynomials/mod.rs:418-482): `factor` independent coset NTTs of size
+T - never materializing an NTT larger than T - interleaved into natural
+order on the blown-up domain. The multi-chip four-step decomposition
+(the analog of `parallel_fft`, src/fft/fft.rs:68-125) lives in
+hodor_tpu/parallel.
+
+All functions take/return Montgomery limb arrays of shape (..., N, L).
+They are pure jnp and trace into larger jitted programs.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..domain import Domain, log2_floor
+from ..field.field import Field
+from ..field.limbs import LimbOps, ops_for
+
+
+@lru_cache(maxsize=None)
+def bit_reverse_indices(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def _stage_twiddles(field: Field, log_n: int, inverse: bool):
+    """Per-stage twiddle arrays for an N=2^log_n NTT: for stage s
+    (block length 2^(s+1)) the array of w_len^j, j < 2^s, where
+    w_len = omega^(N/len). Returned as a tuple of (2^s, L) device arrays.
+    """
+    ops = ops_for(field)
+    n = 1 << log_n
+    domain = Domain.new_for_size(field, n)
+    omega = domain.generator_inv if inverse else domain.generator
+    with jax.ensure_compile_time_eval():
+        table = np.asarray(jax.device_get(ops.powers(ops.const(omega), max(n // 2, 1))))
+    stages = []
+    for s in range(log_n):
+        length = 2 << s
+        stride = n // length
+        stages.append(np.ascontiguousarray(table[::stride][: length // 2]))
+    return tuple(stages)
+
+
+@lru_cache(maxsize=None)
+def _pease_tables(log_n: int):
+    """Constant-geometry NTT schedule. Every stage works on the SAME
+    shapes: gather pair halves u/v (N/2 rows each), butterfly, write back
+    as concat([u', v']). The per-stage gather/twiddle indices are
+    precomputed by simulating the layout of the classic in-place DIT
+    (the algorithm of src/fft/fft.rs:21-66).
+
+    Returns (idx_u, idx_v, tw_idx) as (log_n, N/2) int32 numpy arrays and
+    final_perm (N,) mapping natural output position -> physical position.
+    """
+    n = 1 << log_n
+    half_n = n // 2
+    idx_u = np.zeros((log_n, half_n), dtype=np.int32)
+    idx_v = np.zeros((log_n, half_n), dtype=np.int32)
+    tw_idx = np.zeros((log_n, half_n), dtype=np.int32)
+    # phys[q] = in-place position held at physical slot q; inv maps back
+    inv = np.arange(n)  # in-place position -> physical slot (identity at start)
+    k = np.arange(half_n)
+    for s in range(log_n):
+        length = 2 << s
+        half = length >> 1
+        u_pos = (k // half) * length + (k % half)
+        v_pos = u_pos + half
+        idx_u[s] = inv[u_pos]
+        idx_v[s] = inv[v_pos]
+        tw_idx[s] = (k % half) * (n // length)
+        # new layout: slot k holds u_pos(k), slot half_n + k holds v_pos(k)
+        inv = np.empty(n, dtype=np.int64)
+        inv[u_pos] = k
+        inv[v_pos] = half_n + k
+    final_perm = inv.astype(np.int32)  # out[p] = x[inv[p]]
+    return idx_u, idx_v, tw_idx, final_perm
+
+
+@lru_cache(maxsize=None)
+def _omega_table(field: Field, log_n: int, inverse: bool):
+    """(N/2, L) powers of the domain generator (or its inverse)."""
+    ops = ops_for(field)
+    n = 1 << log_n
+    domain = Domain.new_for_size(field, n)
+    omega = domain.generator_inv if inverse else domain.generator
+    with jax.ensure_compile_time_eval():
+        table = np.asarray(jax.device_get(ops.powers(ops.const(omega), max(n // 2, 1))))
+    return table
+
+
+# stages <= this are unrolled (better fusion); above, the fori_loop
+# constant-geometry form keeps compile time flat in log N.
+_UNROLL_MAX_LOG_N = 8
+
+
+def ntt(ops: LimbOps, a, inverse: bool = False):
+    """Natural-order DFT over the 2^k domain: out[k] = sum_j a[j] w^(jk)
+    (w = domain generator; w^-1 when inverse - scaling by 1/N is NOT
+    applied here, see `intt`). a: (..., N, L).
+
+    Semantics match the reference's best_fft (src/fft/fft.rs:21-66): any
+    exact DFT agrees. Small transforms unroll the log N butterfly stages
+    (XLA fuses them); large ones run a constant-geometry (Pease) schedule
+    inside ONE fori_loop so the compiled graph size is independent of N.
+    """
+    n = a.shape[-2]
+    log_n = log2_floor(n)
+    assert 1 << log_n == n
+    if n == 1:
+        return a
+    if log_n <= _UNROLL_MAX_LOG_N:
+        return _ntt_unrolled(ops, a, log_n, inverse)
+    return _ntt_pease(ops, a, log_n, inverse)
+
+
+def _ntt_unrolled(ops: LimbOps, a, log_n: int, inverse: bool):
+    n = 1 << log_n
+    L = a.shape[-1]
+    stages = _stage_twiddles(ops.field, log_n, inverse)
+    a = jnp.take(a, jnp.asarray(bit_reverse_indices(log_n)), axis=-2)
+    lead = a.shape[:-2]
+    for s in range(log_n):
+        length = 2 << s
+        half = length >> 1
+        blocks = n // length
+        a = a.reshape(lead + (blocks, length, L))
+        u = a[..., :half, :]
+        v = a[..., half:, :]
+        t = ops.mul(v, stages[s])
+        a = jnp.concatenate([ops.add(u, t), ops.sub(u, t)], axis=-2)
+    return a.reshape(lead + (n, L))
+
+
+def _ntt_pease(ops: LimbOps, a, log_n: int, inverse: bool):
+    n = 1 << log_n
+    half_n = n // 2
+    idx_u, idx_v, tw_idx, final_perm = _pease_tables(log_n)
+    omega_table = _omega_table(ops.field, log_n, inverse)  # (N/2, L)
+    idx_u = jnp.asarray(idx_u)
+    idx_v = jnp.asarray(idx_v)
+    tw_idx = jnp.asarray(tw_idx)
+    # input starts in bit-reversed in-place order
+    x = jnp.take(a, jnp.asarray(bit_reverse_indices(log_n)), axis=-2)
+
+    def body(s, x):
+        u = jnp.take(x, idx_u[s], axis=-2)
+        v = jnp.take(x, idx_v[s], axis=-2)
+        tw = jnp.take(omega_table, tw_idx[s], axis=0)
+        t = ops.mul(v, tw)
+        return jnp.concatenate([ops.add(u, t), ops.sub(u, t)], axis=-2)
+
+    x = jax.lax.fori_loop(0, log_n, body, x)
+    return jnp.take(x, jnp.asarray(final_perm), axis=-2)
+
+
+def intt(ops: LimbOps, a):
+    """Inverse NTT including the 1/N scale (reference Polynomial::ifft,
+    src/polynomials/mod.rs:773-797: best_fft with omega^-1 then *minv)."""
+    n = a.shape[-2]
+    out = ntt(ops, a, inverse=True)
+    minv = ops.const(ops.field.inv(n % ops.field.p))
+    return ops.mul(out, minv)
+
+
+def distribute_powers(ops: LimbOps, a, g_limbs):
+    """a[i] *= g^i - the coset-shift primitive (src/fft/mod.rs:110-123).
+
+    g_limbs: (L,) Montgomery scalar. a: (..., N, L).
+    """
+    n = a.shape[-2]
+    pw = ops.powers(g_limbs, n)  # (N, L)
+    return ops.mul(a, pw)
+
+
+def coset_ntt(ops: LimbOps, a, gen_limbs=None):
+    """NTT over the coset g*H (reference coset_fft,
+    src/polynomials/mod.rs:626-638). gen defaults to the field's
+    multiplicative generator."""
+    if gen_limbs is None:
+        gen_limbs = ops.const(ops.field.generator)
+    return ntt(ops, distribute_powers(ops, a, gen_limbs))
+
+
+def icoset_ntt(ops: LimbOps, a, geninv_limbs=None):
+    """Inverse of coset_ntt (reference icoset_fft,
+    src/polynomials/mod.rs:799-815)."""
+    if geninv_limbs is None:
+        geninv_limbs = ops.const(ops.field.inv(ops.field.generator))
+    return distribute_powers(ops, intt(ops, a), geninv_limbs)
+
+
+def _coset_generators(ops: LimbOps, t: int, factor: int, coset: bool):
+    """Generators of the `factor` sub-cosets of the blown-up domain:
+    Omega^i (times the multiplicative generator for the coset variant),
+    as a (factor, L) Montgomery array.
+    Mirrors src/polynomials/mod.rs:444-452 and :565-574."""
+    big = Domain.new_for_size(ops.field, t * factor)
+    gens = ops.powers(ops.const(big.generator), factor)  # (factor, L)
+    if coset:
+        gens = ops.mul(gens, ops.const(ops.field.generator))
+    return gens
+
+
+def lde(ops: LimbOps, coeffs, factor: int, coset: bool = False):
+    """Low-degree extension by `factor` on the blown-up 2^k domain, in
+    natural order: out[idx] = f((g*)Omega^idx), idx < T*factor.
+
+    Exactly the reference's `lde_using_multiple_cosets`
+    (src/polynomials/mod.rs:418-482) / `coset_lde_using_multiple_cosets`
+    (:544-609): one NTT of size T per coset, then the interleave
+    final[j*factor + c] = coset_c[j].
+
+    coeffs: (..., T, L) -> (..., T*factor, L).
+    """
+    assert factor >= 1 and factor & (factor - 1) == 0
+    if factor == 1:
+        return coset_ntt(ops, coeffs) if coset else ntt(ops, coeffs)
+    t = coeffs.shape[-2]
+    L = coeffs.shape[-1]
+    gens = _coset_generators(ops, t, factor, coset)  # (factor, L)
+    pw = jax.vmap(lambda g: ops.powers(g, t))(gens)  # (factor, T, L)
+    shifted = ops.mul(coeffs[..., None, :, :], pw)  # (..., factor, T, L)
+    evals = ntt(ops, shifted)  # (..., factor, T, L)
+    evals = jnp.swapaxes(evals, -3, -2)  # (..., T, factor, L)
+    return evals.reshape(evals.shape[:-3] + (t * factor, L))
+
+
+def evaluate_at(ops: LimbOps, coeffs, x_limbs):
+    """Evaluate a coefficient-form polynomial at scalar x
+    (reference Polynomial::evaluate_at, src/polynomials/mod.rs:685-711).
+    coeffs: (N, L); x_limbs: (L,). Returns (L,)."""
+    n = coeffs.shape[-2]
+    pw = ops.powers(x_limbs, n)
+    return ops.sum_reduce(ops.mul(coeffs, pw), axis=-2)
+
+
+def evaluate_at_domain_for_degree_one(
+    ops: LimbOps, c0_limbs, c1_limbs, domain_size: int, coset: bool = False
+):
+    """Evaluate c0 + c1*X over the (possibly coset-shifted) domain
+    (reference src/polynomials/mod.rs:229-258 and :260-290).
+    Returns (domain_size, L)."""
+    domain = Domain.new_for_size(ops.field, domain_size)
+    start = ops.const(ops.field.generator) if coset else None
+    xs = ops.powers(ops.const(domain.generator), domain.size, start=start)
+    return ops.add(ops.mul(xs, c1_limbs), jnp.broadcast_to(c0_limbs, xs.shape))

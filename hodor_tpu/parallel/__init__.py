@@ -1,0 +1,116 @@
+"""Multi-chip parallelism: device meshes, sharded LDE/NTT, collectives.
+
+The reference is a single-process shared-memory program; its two-stage
+`parallel_fft` decomposition (src/fft/fft.rs:68-125: split a 2^n FFT
+into 2^k independent sub-FFTs after a twiddle-weighted gather, then a
+strided scatter) is exactly the structure of a multi-chip four-step NTT:
+shard-local sub-NTTs + a transpose (all-to-all over ICI) + twiddle
+application. This module provides:
+
+- `make_mesh(n)`: a 1-D jax.sharding.Mesh over the available devices;
+- `sharded_lde`: the reference's `lde_using_multiple_cosets`
+  (src/polynomials/mod.rs:418-482) with the COSET axis sharded across
+  the mesh - each device runs its cosets' NTTs with zero communication;
+  the final natural-order interleave is the only all-to-all, inserted
+  by XLA from the output sharding;
+- `four_step_ntt`: a single large NTT decomposed as N = N1*N2 row/column
+  NTTs with a twiddle multiply in between - the row axis is sharded, the
+  transpose between steps is XLA's all-to-all (the analog of
+  parallel_fft's gather/scatter at src/fft/fft.rs:86-124).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..domain import Domain, log2_floor
+from ..field.limbs import LimbOps, ops_for
+from ..ntt import ntt, distribute_powers, _coset_generators
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "shards") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def sharded_lde(ops: LimbOps, coeffs, factor: int, mesh: Mesh, coset: bool = False,
+                axis: str = "shards"):
+    """LDE with the coset axis sharded over the mesh.
+
+    coeffs: (..., T, L) replicated. Returns (..., T*factor, L) sharded on
+    the blown-up axis. Inside jit, annotate with lax.with_sharding_constraint;
+    eagerly, shard explicitly.
+    """
+    t = coeffs.shape[-2]
+    L = coeffs.shape[-1]
+    gens = _coset_generators(ops, t, factor, coset)  # (factor, L)
+    pw = jax.vmap(lambda g: ops.powers(g, t))(gens)  # (factor, T, L)
+    shifted = ops.mul(coeffs[..., None, :, :], pw)  # (..., factor, T, L)
+    # shard the coset axis: every device NTTs its own cosets (no comms)
+    shifted = jax.lax.with_sharding_constraint(
+        shifted, NamedSharding(mesh, P(*([None] * (shifted.ndim - 3)), axis, None, None))
+    )
+    evals = ntt(ops, shifted)  # (..., factor, T, L) still coset-sharded
+    evals = jnp.swapaxes(evals, -3, -2)  # (..., T, factor, L)
+    out = evals.reshape(evals.shape[:-3] + (t * factor, L))
+    # natural-order output sharded on the big axis: XLA inserts the
+    # all-to-all for the interleave
+    return jax.lax.with_sharding_constraint(
+        out, NamedSharding(mesh, P(*([None] * (out.ndim - 2)), axis, None))
+    )
+
+
+def four_step_ntt(ops: LimbOps, a, mesh: Mesh, axis: str = "shards"):
+    """Natural-order NTT of (N, L) via the four-step decomposition
+    N = N1*N2 (N1 = mesh size), with the row axis sharded.
+
+    Steps (matching parallel_fft's structure, src/fft/fft.rs:68-125):
+      1. view a as A[j2, j1] with j = j1*N2 + j2  (reshape+transpose)
+      2. N1-point NTTs along columns (sharded over rows: needs transpose
+         -> all-to-all)
+      3. multiply by twiddles w^(k1*j2)
+      4. N2-point NTTs along rows (local)
+      5. transpose to natural order X[k] with k = k2*N1 + k1
+    """
+    n, L = a.shape
+    n1 = mesh.devices.size
+    n2 = n // n1
+    assert n1 * n2 == n and n % n1 == 0
+    domain = Domain.new_for_size(ops.field, n)
+    # X[k1*N2+k2... ] derivation: out[k] = sum_j a[j] w^(jk), j = j1*N2+j2
+    #   out[k2*N1+k1] = sum_{j2} w^(j2*(k2*N1+k1)) * (sum_{j1} a[j1*N2+j2] W1^(j1*k1))
+    # inner: N1-point NTT over j1 for each j2; twiddle w^(j2*k1); outer:
+    # N2-point NTT over j2 for each k1.
+    A = a.reshape(n1, n2, L)  # A[j1, j2]
+    A = jnp.swapaxes(A, 0, 1)  # (n2, n1, L): rows j2, cols j1
+    A = jax.lax.with_sharding_constraint(A, NamedSharding(mesh, P(axis, None, None)))
+    # step 1: N1-point NTTs along the j1 axis (local per row after sharding rows)
+    inner = ntt(ops, A)  # (n2, n1, L) -> indexed [j2, k1]
+    # step 2: twiddles w^(j2*k1)
+    with jax.ensure_compile_time_eval():
+        om = ops.const(domain.generator)
+    j2 = jax.lax.broadcasted_iota(jnp.uint32, (n2, n1), 0)
+    k1 = jax.lax.broadcasted_iota(jnp.uint32, (n2, n1), 1)
+    # w^(j2*k1) via gather from the full omega power table
+    tw_idx = (j2 * k1) % jnp.uint32(n)
+    full_table = ops.powers(om, n)  # (N, L)
+    tw = jnp.take(full_table, tw_idx.reshape(-1), axis=0).reshape(n2, n1, L)
+    inner = ops.mul(inner, tw)
+    # step 3: N2-point NTTs along the j2 axis for each k1: transpose so
+    # k1 is the leading (sharded) axis - this is the all-to-all
+    B = jnp.swapaxes(inner, 0, 1)  # (n1, n2, L) indexed [k1, j2]
+    B = jax.lax.with_sharding_constraint(B, NamedSharding(mesh, P(axis, None, None)))
+    outer = ntt(ops, B)  # [k1, k2]
+    # natural order: out[k2*N1 + k1] = outer[k1, k2]
+    out = jnp.swapaxes(outer, 0, 1).reshape(n, L)
+    return jax.lax.with_sharding_constraint(
+        out, NamedSharding(mesh, P(axis, None))
+    )

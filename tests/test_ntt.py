@@ -1,0 +1,117 @@
+"""NTT / LDE / polynomial-kernel equivalence tests.
+
+Ports the reference's cross-implementation equivalence strategy:
+FFT round trip (src/fft/mod.rs:280-328), test_lde_correctness
+(src/polynomials/mod.rs:987-1032) and the coset variant (:1035-1081),
+checked against a naive O(N^2) Python-int DFT oracle.
+"""
+
+import random
+
+import jax
+import pytest
+
+from hodor_tpu.domain import Domain
+from hodor_tpu.field import F257, F_STARK, ops_for
+from hodor_tpu.ntt import (
+    coset_ntt,
+    distribute_powers,
+    evaluate_at,
+    evaluate_at_domain_for_degree_one,
+    icoset_ntt,
+    intt,
+    lde,
+    ntt,
+)
+
+
+def naive_dft(field, coeffs, gen, shift=1):
+    n = len(coeffs)
+    return [
+        sum(c * pow(shift * pow(gen, k, field.p) % field.p, j, field.p) for j, c in enumerate(coeffs))
+        % field.p
+        for k in range(n)
+    ]
+
+
+@pytest.mark.parametrize("field", [F257, F_STARK], ids=lambda f: f.name)
+def test_ntt_vs_naive_and_roundtrip(field):
+    random.seed(1)
+    n = 16
+    ops = ops_for(field)
+    dom = Domain.new_for_size(field, n)
+    coeffs = [random.randrange(field.p) for _ in range(n)]
+    a = ops.encode(coeffs)
+    vals = ops.decode(jax.jit(lambda x: ntt(ops, x))(a))
+    expect = naive_dft(field, coeffs, dom.generator)
+    assert [int(v) for v in vals] == expect
+    back = ops.decode(jax.jit(lambda x: intt(ops, ntt(ops, x)))(a))
+    assert [int(v) for v in back] == coeffs
+
+
+@pytest.mark.parametrize("field", [F257], ids=lambda f: f.name)
+def test_coset_ntt_roundtrip(field):
+    random.seed(2)
+    n = 32
+    ops = ops_for(field)
+    coeffs = [random.randrange(field.p) for _ in range(n)]
+    a = ops.encode(coeffs)
+    vals = ops.decode(jax.jit(lambda x: coset_ntt(ops, x))(a))
+    dom = Domain.new_for_size(field, n)
+    expect = naive_dft(field, coeffs, dom.generator, shift=field.generator)
+    assert [int(v) for v in vals] == expect
+    back = ops.decode(jax.jit(lambda x: icoset_ntt(ops, coset_ntt(ops, x)))(a))
+    assert [int(v) for v in back] == coeffs
+
+
+@pytest.mark.parametrize("coset", [False, True])
+def test_lde_multiple_cosets_vs_naive(coset):
+    # port of test_lde_correctness / test_coset_lde_correctness
+    field = F257
+    random.seed(3)
+    n, factor = 8, 4
+    ops = ops_for(field)
+    coeffs = [random.randrange(field.p) for _ in range(n)]
+    big = Domain.new_for_size(field, n * factor)
+    out = ops.decode(jax.jit(lambda x: lde(ops, x, factor, coset=coset))(ops.encode(coeffs)))
+    shift = field.generator if coset else 1
+    expect = naive_dft(field, coeffs + [0] * (n * factor - n), big.generator, shift=shift)
+    assert [int(v) for v in out] == expect
+
+
+def test_lde_batched_matches_single():
+    field = F257
+    random.seed(4)
+    ops = ops_for(field)
+    rows = [[random.randrange(field.p) for _ in range(8)] for _ in range(3)]
+    batched = ops.decode(jax.jit(lambda x: lde(ops, x, 4))(ops.encode(rows)))
+    for r, row in enumerate(rows):
+        single = ops.decode(lde(ops, ops.encode(row), 4))
+        assert [int(v) for v in batched[r]] == [int(v) for v in single]
+
+
+def test_evaluate_at():
+    field = F_STARK
+    random.seed(5)
+    ops = ops_for(field)
+    coeffs = [random.randrange(field.p) for _ in range(16)]
+    x = random.randrange(field.p)
+    got = ops.decode(jax.jit(lambda c, xx: evaluate_at(ops, c, xx))(ops.encode(coeffs), ops.const(x)))
+    assert int(got) == sum(c * pow(x, j, field.p) for j, c in enumerate(coeffs)) % field.p
+
+
+def test_degree_one_eval_and_distribute():
+    field = F257
+    ops = ops_for(field)
+    dom = Domain.new_for_size(field, 16)
+    c0, c1 = 5, 7
+    vals = ops.decode(
+        evaluate_at_domain_for_degree_one(ops, ops.const(c0), ops.const(c1), 16, coset=True)
+    )
+    for i in range(16):
+        x = field.generator * pow(dom.generator, i, field.p) % field.p
+        assert int(vals[i]) == (c0 + c1 * x) % field.p
+    a = ops.encode(list(range(1, 17)))
+    dp = ops.decode(distribute_powers(ops, a, ops.const(3)))
+    for i in range(16):
+        assert int(dp[i]) == (i + 1) * pow(3, i, field.p) % field.p
