@@ -32,6 +32,7 @@ import numpy as np
 
 from hodor_tpu.field import F257, F_BLS, F_STARK, ops_for
 from hodor_tpu.ntt import ntt
+from hodor_tpu.ntt.matmul import ntt_matmul
 
 BASELINE_MULS_PER_S = 6.4e8
 
@@ -55,7 +56,9 @@ def main():
         limbs[:, -1] &= (1 << max(top_bits - 1, 1)) - 1
     a = jax.device_put(limbs)
 
-    fn = jax.jit(lambda x: ntt(ops, x))
+    impl = os.environ.get("BENCH_IMPL", "matmul")
+    kernel = ntt_matmul if impl == "matmul" else ntt
+    fn = jax.jit(lambda x: kernel(ops, x))
     t0 = time.time()
     fn(a).block_until_ready()
     compile_s = time.time() - t0

@@ -247,9 +247,14 @@ class ALIInstance:
             term_vals.append(ops.pow_static(base_ldes[k], pw))
         term_vals = jnp.stack(term_vals, axis=0)  # (K, D, L)
 
+        # distinct adjustment powers -> x^adj tables, computed once each
+        adj_pows = {}
+
         def adjustment_values(adj, alpha, beta):
             # alpha * x^adj + beta over the coset (:292-308)
-            p = ops.pow_static(coset_values, adj)
+            if adj not in adj_pows:
+                adj_pows[adj] = ops.pow_static(coset_values, adj)
+            p = adj_pows[adj]
             return ops.add(ops.mul(p, alpha), jnp.broadcast_to(beta, p.shape))
 
         g_values = jnp.broadcast_to(ops.zero_m, (d_size, L))
@@ -283,20 +288,29 @@ class ALIInstance:
             batch_values = ops.mul(batch_values, divisors[key])
             g_values = ops.add(g_values, batch_values)
 
-        # boundary constraints (:480-524)
-        for bi, bc in enumerate(self.properties.boundary_constraints):
-            alpha = b_alphas[bi]
-            beta = b_betas[bi]
-            wpoly = witness_coeffs[bc.register.index]
-            wpoly = wpoly.at[0].set(ops.sub(wpoly[0], ops.const(bc.value % field.p)))
-            cvals = lde(ops, wpoly, power_hint, coset=True)  # (D, L)
+        # boundary constraints (:480-524), fully batched: one coset-LDE of
+        # all shifted register polys, one batched adjustment/divisor pass
+        bcs = self.properties.boundary_constraints
+        if bcs:
+            nb = len(bcs)
+            wstack = jnp.stack([witness_coeffs[bc.register.index] for bc in bcs])
+            bvals = ops.encode([bc.value % field.p for bc in bcs])  # (B, L)
+            wstack = wstack.at[:, 0].set(ops.sub(wstack[:, 0], bvals))
+            cvals = lde(ops, wstack, power_hint, coset=True)  # (B, D, L)
             adjustment = self.max_constraint_power - 1
             if adjustment == 0:
-                cvals = ops.mul(cvals, alpha)
+                cvals = ops.mul(cvals, b_alphas[:, None, :])
             else:
-                cvals = ops.mul(cvals, adjustment_values(adjustment, alpha, beta))
-            cvals = ops.mul(cvals, b_divisors[bc.at_row])
-            g_values = ops.add(g_values, cvals)
+                if adjustment not in adj_pows:
+                    adj_pows[adjustment] = ops.pow_static(coset_values, adjustment)
+                adj = ops.add(
+                    ops.mul(adj_pows[adjustment][None], b_alphas[:, None, :]),
+                    jnp.broadcast_to(b_betas[:, None, :], (nb, d_size, L)),
+                )
+                cvals = ops.mul(cvals, adj)
+            bdiv = jnp.stack([b_divisors[bc.at_row] for bc in bcs])
+            cvals = ops.mul(cvals, bdiv)
+            g_values = ops.add(g_values, ops.sum_reduce(cvals, axis=0))
 
         # G interpolant (:526)
         return icoset_ntt(ops, g_values)

@@ -116,8 +116,13 @@ class MerkleTree:
 def verify_path(root: bytes, leaf_value: int, path: List[bytes], tree_index: int, field: Field) -> bool:
     """Host-side path verification (reference Blake2sIopTree::verify,
     src/iop/blake2s_trivial_iop.rs:259-279): hash the leaf's 32-byte raw
-    LE repr, then fold siblings left/right by index parity."""
+    LE repr, then fold siblings left/right by index parity. Uses the
+    native C++ extension when available."""
     raw = field.raw_repr_le(leaf_value).ljust(32, b"\x00")
+    from ..utils import native
+
+    if native.available():
+        return bool(native.verify_path(root, raw, path, tree_index))
     h = blake2s_keyed(raw)
     idx = tree_index
     for sibling in path:

@@ -1,0 +1,279 @@
+"""MXU matmul-based NTT: radix-128 four-step with lazy Montgomery
+reduction.
+
+The reference's radix-4 kernel (src/fft/radix4_fft/mod.rs) chases
+arithmetic intensity on a CPU; the TPU-native answer is to put the DFT
+butterflies on the MXU: a size-128 DFT is a 128x128 field matrix
+multiply, and a length-N NTT is log_128(N) levels of batched DFT-128s
+with elementwise twiddles in between (the four-step decomposition,
+same structure as parallel_fft, src/fft/fft.rs:68-125).
+
+Field matmul via limb planes: operands decompose into 8-bit byte planes
+(P = 2*L planes). One dot_general contracts the 128-length reduction
+dim over all plane pairs at once - (B*P, B) @ (B, M*P) - with exact
+integer accumulation (products < 2^16, 128-term sums < 2^23, safe in
+int32 and even in f32's 24-bit mantissa so the MXU can run it). A
+second tiny dot folds the (P, P) plane grid into base-256 columns of
+the full 512-bit integer sum_j W[k,j]*x[j], and ONE wide Montgomery
+reduction per output element maps it back to 16-bit-limb Montgomery
+form - amortizing what the elementwise path pays per multiply over an
+entire 128-point dot product.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..domain import Domain, log2_floor
+from ..field.field import Field
+from ..field.limbs import (
+    LimbOps,
+    MASK16,
+    _carry_propagate,
+    _carryless_mul_cols_trunc,
+    _mul_cols,
+    int_to_limbs,
+    ops_for,
+)
+
+RADIX = 128
+
+
+# ------------------------------------------------------------ constants
+
+@lru_cache(maxsize=None)
+def _plane_conv_matrix(p: int) -> np.ndarray:
+    """(p*p, 2p-1) 0/1: plane pair (i, j) feeds base-256 column i+j."""
+    e = np.zeros((p * p, 2 * p - 1), dtype=np.int32)
+    for i in range(p):
+        for j in range(p):
+            e[i * p + j, i + j] = 1
+    return e
+
+
+@lru_cache(maxsize=None)
+def _dft_matrix_folded_s8(field: Field, size: int, inverse: bool):
+    """Constants for the fused s8-MXU DFT: the byte-plane matrix with the
+    plane convolution folded into the W side.
+
+    Returns (w_s8, w_sum, cnt):
+      w_s8 : (size, C, size, P) int8, entries w_byte[k, j, c-q] - 128
+             (zero where c-q is out of [0, P))
+      w_sum: (size, C) int32, sum of the (unshifted) w bytes per (k, c)
+      cnt  : (C,) int32, number of (j, q) contraction terms per column
+    with P = 2*n16 byte planes and C = 2P-1 output base-256 columns.
+    """
+    planes = _dft_matrix_bytes(field, size, inverse)  # (S, S, P) f32 bytes
+    w = planes.astype(np.int64)  # (S, S, P)
+    s = size
+    P = w.shape[-1]
+    C = 2 * P - 1
+    w_fold = np.zeros((s, C, s, P), dtype=np.int64)
+    for c in range(C):
+        for q in range(P):
+            p_idx = c - q
+            if 0 <= p_idx < P:
+                w_fold[:, c, :, q] = w[:, :, p_idx]
+    w_sum = w_fold.sum(axis=(2, 3)).astype(np.int32)  # (S, C)
+    cnt = np.array(
+        [s * len([q for q in range(P) if 0 <= c - q < P]) for c in range(C)],
+        dtype=np.int32,
+    )
+    w_s8 = (w_fold - 128).astype(np.int8)
+    # out-of-range (p_idx invalid) entries were 0 -> become -128; they must
+    # contribute exactly -128*(x-128) so the correction terms cancel them:
+    # the algebra below treats EVERY (j, q) pair as a term, with w byte 0
+    # for invalid pairs - that is exactly what w_fold already encodes, and
+    # w_sum / cnt count all s*P pairs per column.
+    cnt = np.full((C,), s * P, dtype=np.int32)
+    return w_s8, w_sum, cnt
+
+
+@lru_cache(maxsize=None)
+def _dft_matrix_bytes(field: Field, size: int, inverse: bool):
+    """(size, size, P) f32 byte planes of the Montgomery-form DFT matrix
+    W[k, j] = w^(k*j) (w = generator of the size-`size` domain)."""
+    domain = Domain.new_for_size(field, size)
+    w = domain.generator_inv if inverse else domain.generator
+    p_mod = field.p
+    n16 = field.n16
+    rows = np.zeros((size, size, n16), dtype=np.uint32)
+    # W[k, j] = w^(kj) in Montgomery form
+    pow_table = [field.to_mont(pow(w, t, p_mod)) for t in range(size)]
+    idx = np.outer(np.arange(size), np.arange(size)) % size
+    packed = np.stack([int_to_limbs(v, n16) for v in pow_table])  # (size, n16)
+    rows = packed[idx]  # (size, size, n16)
+    lo = rows & 0xFF
+    hi = (rows >> 8) & 0xFF
+    planes = np.stack([lo, hi], axis=-1).reshape(size, size, 2 * n16)
+    return planes.astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _level_twiddles(field: Field, n: int, n1: int, inverse: bool):
+    """(n1, n//n1, L) Montgomery twiddles w_N^(k1*j2) for the four-step
+    recombination."""
+    ops = ops_for(field)
+    n2 = n // n1
+    domain = Domain.new_for_size(field, n)
+    w = domain.generator_inv if inverse else domain.generator
+    with jax.ensure_compile_time_eval():
+        table = np.asarray(jax.device_get(ops.powers(ops.const(w), n)))  # (n, L)
+    idx = np.outer(np.arange(n1), np.arange(n2)) % n
+    return table[idx]  # (n1, n2, L)
+
+
+@lru_cache(maxsize=None)
+def max_radix(field: Field) -> int:
+    """Largest power-of-2 radix r such that r * p^2 fits the 2n-limb
+    intermediate (r * p^2 < 2^(32*n16))."""
+    r = 128
+    bound = 1 << (32 * field.n16)
+    while r > 1 and r * field.p * field.p >= bound:
+        r //= 2
+    return r
+
+
+@lru_cache(maxsize=None)
+def _reduction_chain(field: Field, radix: int):
+    """Conditional-subtract multiples (as limb arrays) bringing
+    u < radix*p^2/R + p down below p, derived from exact integer bounds."""
+    p = field.p
+    bound = radix * p * p // field.R + p + 1
+    mults = []
+    while bound > p:
+        m = 1
+        while 2 * m * p < bound:
+            m *= 2
+        mults.append(m)
+        bound = max(bound - m * p, m * p)
+    n16 = field.n16
+    return tuple(np.asarray(int_to_limbs(m * p, n16)) for m in mults)
+
+
+# ------------------------------------------------------------ kernels
+
+def _to_byte_planes_f32(x):
+    """(..., L) u16-limbs -> (..., 2L) f32 byte planes."""
+    lo = (x & jnp.uint32(0xFF)).astype(jnp.float32)
+    hi = ((x >> 8) & jnp.uint32(0xFF)).astype(jnp.float32)
+    return jnp.stack([lo, hi], axis=-1).reshape(x.shape[:-1] + (2 * x.shape[-1],))
+
+
+def _mont_reduce_wide(ops: LimbOps, cols, radix: int):
+    """cols: (..., K) base-256 relaxed columns (uint32, each < 2^31) of an
+    integer t < radix * p^2. Returns t * R^-1 mod p as (..., n16)
+    Montgomery limbs. One base-256 carry chain + the standard m/mp steps
+    + a bound-derived chain of conditional subtractions."""
+    n = ops.n16
+    k = cols.shape[-1]
+    # base-256 carry normalization into 4n bytes (t < 2^(16*2n))
+    n_bytes = 4 * n
+    outs = []
+    carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
+    for i in range(n_bytes):
+        t = (cols[..., i] if i < k else jnp.zeros_like(carry)) + carry
+        outs.append(t & jnp.uint32(0xFF))
+        carry = t >> 8
+    tb = jnp.stack(outs, axis=-1)  # (..., 4n) proper bytes
+    t16 = tb[..., 0::2] | (tb[..., 1::2] << 8)  # (..., 2n) 16-bit limbs
+
+    # m = (t mod R) * p' mod R ; u = (t + m*p) / R
+    t_lo = t16[..., :n]
+    pinv = jnp.broadcast_to(ops.pinv_limbs, t_lo.shape)
+    m = _carry_propagate(_carryless_mul_cols_trunc(t_lo, pinv, n), n)
+    mp_cols = _mul_cols(m, jnp.broadcast_to(ops.p_limbs, m.shape))
+    u = _carry_propagate(t16 + mp_cols, 2 * n)[..., n:]
+
+    from ..field.limbs import _sub_with_borrow
+
+    for mult in _reduction_chain(ops.field, radix):
+        diff, borrow = _sub_with_borrow(u, jnp.broadcast_to(jnp.asarray(mult), u.shape))
+        u = jnp.where((borrow == 0)[..., None], diff, u)
+    return u
+
+
+def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool):
+    """Batched size-point DFT over axis -2 via ONE fused s8 MXU matmul.
+
+    The plane convolution is folded into the W operand
+    (_dft_matrix_folded_s8), so the contraction runs over (j, plane) at
+    once - depth size*P - and no (S*P, M*P) intermediate ever hits HBM.
+    Both operands are offset by -128 into int8 for the native MXU int8
+    path; the exact integer result is recovered with rank-1 corrections:
+
+      sum wb*xb = C_s8 + 128*Sx[m] + 128*Wsum[k,c] - 128^2 * S * P
+
+    x: (..., size, L) Montgomery -> (..., size, L) Montgomery.
+    """
+    field = ops.field
+    L = ops.n16
+    P = 2 * L
+    lead = x.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    w_s8, w_sum, _cnt = _dft_matrix_folded_s8(field, size, inverse)
+    w_s8 = jnp.asarray(w_s8)  # (S, C, S, P) int8
+    w_sum = jnp.asarray(w_sum)  # (S, C) int32
+    C = 2 * P - 1
+
+    # bytes of x as int8 (offset by -128), shaped (S_j, M, P)
+    lo = (x & jnp.uint32(0xFF)).astype(jnp.int32)
+    hi = ((x >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+    xb = jnp.stack([lo, hi], axis=-1).reshape(x.shape[:-1] + (P,))  # (..., S, P)
+    xb = jnp.moveaxis(xb.reshape((m, size, P)), 1, 0)  # (S, M, P)
+    x_s8 = (xb - 128).astype(jnp.int8)
+    sx = jnp.sum(xb, axis=(0, 2), dtype=jnp.int32)  # (M,)
+
+    c_s8 = jax.lax.dot_general(
+        w_s8, x_s8, (((2, 3), (0, 2)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (S, C, M) int32
+    cols = (
+        c_s8
+        + 128 * sx[None, None, :]
+        + 128 * w_sum[:, :, None]
+        - (128 * 128) * size * P
+    )
+    cols = jnp.moveaxis(cols, 1, 2).astype(jnp.uint32)  # (S, M, C)
+    out = _mont_reduce_wide(ops, cols, size)  # (S, M, L)
+    return jnp.moveaxis(out, 0, 1).reshape(lead + (size, L))
+
+
+def ntt_matmul(ops: LimbOps, x, inverse: bool = False):
+    """Natural-order NTT over axis -2 using radix-128 matmul levels.
+    No 1/N scaling (see intt_matmul)."""
+    n = x.shape[-2]
+    radix = min(RADIX, max_radix(ops.field))
+    if n == 1:
+        return x
+    if n <= radix:
+        return _dft_matmul(ops, x, n, inverse)
+    n1 = radix
+    n2 = n // n1
+    L = x.shape[-1]
+    lead = x.shape[:-2]
+    # j = j1*n2 + j2
+    a = x.reshape(lead + (n1, n2, L))
+    # inner: DFT_{n1} over j1 (axis -3) -> indexed [k1, j2]
+    inner = jnp.swapaxes(a, -3, -2)  # (..., n2, n1, L)
+    inner = _dft_matmul(ops, inner, n1, inverse)
+    inner = jnp.swapaxes(inner, -3, -2)  # (..., n1(k1), n2(j2), L)
+    # twiddle w^(k1*j2)
+    tw = jnp.asarray(_level_twiddles(ops.field, n, n1, inverse))
+    inner = ops.mul(inner, tw)
+    # outer: DFT_{n2} over j2 per k1 (recurse; k1 folds into the batch)
+    outer = ntt_matmul(ops, inner, inverse)  # (..., n1(k1), n2(k2), L)
+    # natural order: out[k2*n1 + k1]
+    out = jnp.swapaxes(outer, -3, -2)  # (..., n2(k2), n1(k1), L)
+    return out.reshape(lead + (n, L))
+
+
+def intt_matmul(ops: LimbOps, x):
+    n = x.shape[-2]
+    out = ntt_matmul(ops, x, inverse=True)
+    minv = ops.const(ops.field.inv(n % ops.field.p))
+    return ops.mul(out, minv)
