@@ -40,13 +40,14 @@ def limbs_to_int(limbs) -> int:
 
 
 def pack_ints(values, n16: int) -> np.ndarray:
-    """Python ints (nested lists / 1-D / 2-D) -> (..., n16) uint32 limbs."""
+    """Python ints (nested lists / 1-D / 2-D) -> (..., n16) uint32 limbs.
+    Vectorized through int.to_bytes + frombuffer (fast enough for 2^20+
+    witness columns)."""
     arr = np.asarray(values, dtype=object)
-    out = np.empty(arr.shape + (n16,), dtype=np.uint32)
     flat = arr.reshape(-1)
-    out_flat = out.reshape(-1, n16)
-    for i, v in enumerate(flat):
-        out_flat[i] = int_to_limbs(int(v), n16)
+    nbytes = 2 * n16
+    buf = b"".join(int(v).to_bytes(nbytes, "little") for v in flat)
+    out = np.frombuffer(buf, dtype="<u2").astype(np.uint32).reshape(arr.shape + (n16,))
     return out
 
 
@@ -214,11 +215,17 @@ class LimbOps:
     # -- encode / decode (host) --
 
     def encode(self, values) -> jnp.ndarray:
-        """Python ints (canonical) -> Montgomery limb array on device."""
-        f = self.field
-        vals = np.asarray(values, dtype=object)
-        mont = np.vectorize(lambda v: (int(v) * f.R) % f.p, otypes=[object])(vals)
-        return jnp.asarray(pack_ints(mont, self.n16))
+        """Python ints (canonical) -> Montgomery limb array on device.
+        Packing is host-vectorized; the Montgomery conversion (mul by R^2)
+        runs on device so encoding 2^20-row witnesses stays fast."""
+        packed = jnp.asarray(pack_ints(values, self.n16))
+        if packed.size == 0:
+            return packed
+        return self._encode_tail(packed)
+
+    @partial(jax.jit, static_argnums=0)
+    def _encode_tail(self, packed):
+        return self.to_mont_arr(packed)
 
     def decode(self, limbs) -> np.ndarray:
         """Montgomery limb array -> object ndarray of canonical ints."""

@@ -115,9 +115,11 @@ def ntt(ops: LimbOps, a, inverse: bool = False):
     applied here, see `intt`). a: (..., N, L).
 
     Semantics match the reference's best_fft (src/fft/fft.rs:21-66): any
-    exact DFT agrees. Small transforms unroll the log N butterfly stages
-    (XLA fuses them); large ones run a constant-geometry (Pease) schedule
-    inside ONE fori_loop so the compiled graph size is independent of N.
+    exact DFT agrees. Dispatch (the analog of the reference's compile-time
+    kernel selection, src/fft/mod.rs:28-58): small transforms unroll the
+    log N butterfly stages (XLA fuses them); large transforms use the
+    radix-128 MXU matmul path (ntt/matmul.py) when the field's reduction
+    bounds allow it, else a constant-geometry (Pease) fori_loop schedule.
     """
     n = a.shape[-2]
     log_n = log2_floor(n)
@@ -126,6 +128,10 @@ def ntt(ops: LimbOps, a, inverse: bool = False):
         return a
     if log_n <= _UNROLL_MAX_LOG_N:
         return _ntt_unrolled(ops, a, log_n, inverse)
+    from .matmul import max_radix, ntt_matmul
+
+    if max_radix(ops.field) >= 8:
+        return ntt_matmul(ops, a, inverse)
     return _ntt_pease(ops, a, log_n, inverse)
 
 
@@ -234,9 +240,24 @@ def lde(ops: LimbOps, coeffs, factor: int, coset: bool = False):
     t = coeffs.shape[-2]
     L = coeffs.shape[-1]
     gens = _coset_generators(ops, t, factor, coset)  # (factor, L)
-    pw = jax.vmap(lambda g: ops.powers(g, t))(gens)  # (factor, T, L)
-    shifted = ops.mul(coeffs[..., None, :, :], pw)  # (..., factor, T, L)
-    evals = ntt(ops, shifted)  # (..., factor, T, L)
+    # keep never-materializing-more-than-T the reference's way
+    # (lde_using_multiple_cosets): for big domains run the cosets
+    # SEQUENTIALLY (lax.map) so peak memory stays O(T), exactly the
+    # reference's memory-scaling trick (src/polynomials/mod.rs:418-482)
+    big = t * factor * L * int(np.prod(coeffs.shape[:-2], dtype=np.int64) or 1)
+    sequential = big >= (1 << 24)
+
+    def one_coset(g):
+        pw = ops.powers(g, t)  # (T, L)
+        return ntt(ops, ops.mul(coeffs, pw))  # (..., T, L)
+
+    if sequential:
+        evals = jax.lax.map(one_coset, gens)  # (factor, ..., T, L)
+        evals = jnp.moveaxis(evals, 0, -3)  # (..., factor, T, L)
+    else:
+        pw = jax.vmap(lambda g: ops.powers(g, t))(gens)  # (factor, T, L)
+        shifted = ops.mul(coeffs[..., None, :, :], pw)  # (..., factor, T, L)
+        evals = ntt(ops, shifted)
     evals = jnp.swapaxes(evals, -3, -2)  # (..., T, factor, L)
     return evals.reshape(evals.shape[:-3] + (t * factor, L))
 

@@ -171,16 +171,19 @@ def _mont_reduce_wide(ops: LimbOps, cols, radix: int):
     + a bound-derived chain of conditional subtractions."""
     n = ops.n16
     k = cols.shape[-1]
-    # base-256 carry normalization into 4n bytes (t < 2^(16*2n))
-    n_bytes = 4 * n
-    outs = []
-    carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
-    for i in range(n_bytes):
-        t = (cols[..., i] if i < k else jnp.zeros_like(carry)) + carry
-        outs.append(t & jnp.uint32(0xFF))
-        carry = t >> 8
-    tb = jnp.stack(outs, axis=-1)  # (..., 4n) proper bytes
-    t16 = tb[..., 0::2] | (tb[..., 1::2] << 8)  # (..., 2n) 16-bit limbs
+    # fold base-256 columns into relaxed 16-bit columns in O(1) depth:
+    # t = sum_i A_i*2^(16i) + 256*sum_i B_i*2^(16i) with A = even cols,
+    # B = odd cols; limb_i = A_i + (B_i & 0xFF)<<8 + (B_{i-1} >> 8)
+    # (bounds: < 2^30 + 2^16 + 2^22 < 2^31), then ONE 2n-step carry chain.
+    pad = jnp.zeros(cols.shape[:-1] + (4 * n - k,), jnp.uint32)
+    colsp = jnp.concatenate([cols, pad], axis=-1)  # (..., 4n)
+    A = colsp[..., 0::2]  # (..., 2n)
+    B = colsp[..., 1::2]
+    b_hi = jnp.concatenate(
+        [jnp.zeros(B.shape[:-1] + (1,), jnp.uint32), (B >> 8)[..., :-1]], axis=-1
+    )
+    relaxed = A + ((B & jnp.uint32(0xFF)) << 8) + b_hi
+    t16 = _carry_propagate(relaxed, 2 * n)  # (..., 2n) proper 16-bit limbs
 
     # m = (t mod R) * p' mod R ; u = (t + m*p) / R
     t_lo = t16[..., :n]
