@@ -39,7 +39,56 @@ BASELINE_MULS_PER_S = 6.4e8
 FIELDS = {"F_STARK": F_STARK, "F_BLS": F_BLS, "F257": F257}
 
 
+def bench_prove():
+    """End-to-end quadratic VDF prove (the reference's benchmark workload,
+    src/experiments/vdf.rs:133-220) with stage timings on stderr.
+
+    BENCH_LOG_ROWS rows (default 2^14), lde 16, single-round-to-constant
+    FRI. Prints one JSON line with the wall time. vs_baseline compares to
+    a crude reference-prover estimate: the 64-core Rust prover does ~40
+    size-T FFT-equivalents + hashing at ~6.4e8 muls/s.
+    """
+    import time
+
+    from hodor_tpu.models import VDF
+    from hodor_tpu.prover import Prover
+
+    log_rows = int(os.environ.get("BENCH_LOG_ROWS", "14"))
+    lde_factor = 16
+    t_rows = 1 << log_rows
+    field = F_STARK
+    t0 = time.time()
+    witness, props = VDF(field, 1, 2, t_rows - 1).into_arp()
+    print(f"# witness gen {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    prover = Prover(props.clone(), lde_factor=lde_factor, fri_final_degree_plus_one=1)
+    print(f"# prover init (incl. divisor precompute) {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    prover.prove(witness)
+    cold = time.time() - t0
+    print(f"# prove (cold, incl. compiles) {cold:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    prover.prove(witness)
+    warm = time.time() - t0
+    print(f"# prove (warm) {warm:.1f}s", file=sys.stderr)
+    # reference estimate: ~40 T-sized FFT equivalents at baseline mul rate
+    est_ref = 40 * (t_rows / 2 * log_rows) / BASELINE_MULS_PER_S
+    print(
+        json.dumps(
+            {
+                "metric": f"vdf_2^{log_rows}_rows_prove_wall_s",
+                "value": warm,
+                "unit": "s",
+                "vs_baseline": est_ref / warm,
+            }
+        )
+    )
+
+
 def main():
+    if os.environ.get("BENCH_MODE") == "prove":
+        bench_prove()
+        return
     log_n = int(os.environ.get("BENCH_LOG_N", "18"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     field = FIELDS[os.environ.get("BENCH_FIELD", "F_STARK")]
