@@ -26,7 +26,7 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_hodor_bench"))
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_hodor_tpu"))
 
 import numpy as np
 
@@ -89,7 +89,9 @@ def main():
     if os.environ.get("BENCH_MODE") == "prove":
         bench_prove()
         return
-    log_n = int(os.environ.get("BENCH_LOG_N", "18"))
+    # default 2^16: the compile for this shape is persistently cached from
+    # round-1 runs (axon compiles take ~10 min cold, seconds warm)
+    log_n = int(os.environ.get("BENCH_LOG_N", "16"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     field = FIELDS[os.environ.get("BENCH_FIELD", "F_STARK")]
     n = 1 << log_n

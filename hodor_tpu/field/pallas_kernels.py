@@ -9,6 +9,13 @@ write - with every limb kept in vector registers/VMEM.
 The kernels reproduce hodor_tpu.field.limbs.LimbOps.mul bit-exactly
 (relaxed-carry Montgomery with two carry chains). Elementwise list-form
 limb arithmetic vectorizes over the (rows, 128) tile.
+
+KNOWN LIMITATION (round 1): the fully-unrolled 16-limb kernel is
+bit-exact in interpret mode, but the axon remote Mosaic compile of the
+~1300-op kernel exceeded 20 minutes and was never observed to finish;
+the kernel is not yet wired into the default mul path. Round-2 plan:
+restructure the schoolbook phases as in-kernel fori_loops over the limb
+index to shrink the op count ~8x before Mosaic sees it.
 """
 
 from __future__ import annotations
