@@ -28,6 +28,20 @@ from .field import Field
 MASK16 = jnp.uint32(0xFFFF)
 
 
+@lru_cache(maxsize=1)
+def _pallas_enabled() -> bool:
+    """Pallas kernels only make sense on real TPU backends (interpret
+    mode on CPU is slow); HODOR_DISABLE_PALLAS=1 overrides."""
+    import os
+
+    if os.environ.get("HODOR_DISABLE_PALLAS") == "1":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 # ---------------------------------------------------------------- packing
 
 def int_to_limbs(value: int, n16: int) -> np.ndarray:
@@ -246,10 +260,22 @@ class LimbOps:
         diff, borrow = _sub_with_borrow(u, jnp.broadcast_to(self.p_limbs, u.shape))
         return jnp.where((borrow == 0)[..., None], diff, u)
 
-    def add(self, a, b):
+    def add(self, a, b, allow_pallas: bool = True):
+        a, b = jnp.broadcast_arrays(a, b)
+        if allow_pallas and _pallas_enabled():
+            from .pallas_kernels import pallas_addsub, pallas_ok
+
+            if pallas_ok(a.shape, self.n16):
+                return pallas_addsub(self.field, a, b, "add")
         return self._cond_sub_p(_add_limbs(a, b))
 
-    def sub(self, a, b):
+    def sub(self, a, b, allow_pallas: bool = True):
+        a, b = jnp.broadcast_arrays(a, b)
+        if allow_pallas and _pallas_enabled():
+            from .pallas_kernels import pallas_addsub, pallas_ok
+
+            if pallas_ok(a.shape, self.n16):
+                return pallas_addsub(self.field, a, b, "sub")
         d, borrow = _sub_with_borrow(a, b)
         corrected = _add_limbs(d, jnp.broadcast_to(self.p_limbs, d.shape))
         return jnp.where((borrow == 1)[..., None], corrected, d)
@@ -265,8 +291,12 @@ class LimbOps:
         u = _add_limbs(t, mp, 2 * n)  # low n limbs are zero by construction
         return self._cond_sub_p(u[..., n:])
 
-    def mul(self, a, b):
+    def mul(self, a, b, allow_pallas: bool = True):
         """Montgomery multiply with relaxed (uncarried) intermediates.
+
+        On TPU backends, eligible shapes dispatch to the fused Pallas
+        kernel (field/pallas_kernels.py; ~50x faster than the XLA
+        elementwise path, which fragments into many HBM-bound fusions).
 
         Keeps column sums un-normalized wherever exactness allows it, so
         the graph has only TWO sequential carry chains (m-normalization,
@@ -275,6 +305,11 @@ class LimbOps:
         critical path of every field multiply.
         """
         a, b = jnp.broadcast_arrays(a, b)
+        if allow_pallas and _pallas_enabled():
+            from .pallas_kernels import pallas_mont_mul_v2, pallas_ok
+
+            if pallas_ok(a.shape, self.n16):
+                return pallas_mont_mul_v2(self.field, a, b)
         n = self.n16
         t_cols = _mul_cols(a, b)  # (..., 2n) relaxed, < 2^22
 
@@ -349,7 +384,9 @@ class LimbOps:
         total = 1
         while total < n:
             take = min(total, n - total)
-            nxt = self.mul(out[:take], step[None, :])
+            # allow_pallas=False: powers() runs under vmap in the LDE
+            # fan-out and the odd shapes stay small anyway
+            nxt = self.mul(out[:take], step[None, :], allow_pallas=False)
             out = jnp.concatenate([out, nxt], axis=0)
             if total * 2 < n:
                 step = self.square(step)

@@ -161,3 +161,208 @@ def pallas_ok(shape, n16: int) -> bool:
     for s in shape[:-1]:
         total *= s
     return total % (ROWS * LANES) == 0 and total >= ROWS * LANES
+
+
+# ---------------------------------------------------------------- v2:
+# loop-structured kernel: phases run as in-kernel fori_loops so Mosaic
+# sees ~200 ops instead of ~1300 (the unrolled kernel above compiles in
+# interpret mode but exceeds the axon remote-compile budget).
+
+def _mont_mul_kernel_v2(n, p_list, pinv_list, a_ref, b_ref, p_ref, pinv_ref, o_ref, acc_ref, macc_ref):
+    """Blocks are LIMB-MAJOR: refs are (n, rows, LANES) so the fori_loop
+    limb index lands on the leading dim (Mosaic cannot dynamically slice
+    the lane dim)."""
+    R, L = a_ref.shape[1], a_ref.shape[2]
+    zeros_block = jnp.zeros((R, L), jnp.uint32)
+
+    b_list = b_ref[:]  # (n, R, L)
+    acc_ref[...] = jnp.zeros((2 * n + 1, R, L), jnp.uint32)
+    macc_ref[...] = jnp.zeros((2 * n + 1, R, L), jnp.uint32)
+
+    # phase 1: t columns; acc[i..i+n] += lo, acc[i+1..i+n+1] += hi
+    def p1(i, _):
+        xi = a_ref[i]
+        prod = xi[None, :, :] * b_list
+        lo = prod & MASK16
+        hi = prod >> 16
+        acc_ref[pl.ds(i, n)] += lo
+        acc_ref[pl.ds(i + 1, n)] += hi
+        return 0
+
+    jax.lax.fori_loop(0, n, p1, 0)
+
+    # phase 2: m = (t mod R)*p' mod R (truncated; rows >= n ignored)
+    pinv_arr = pinv_ref[:]  # (n, 1, LANES)
+
+    def p2(i, _):
+        ti = acc_ref[i]
+        lo16 = ti & MASK16
+        hi6 = ti >> 16
+        pr = lo16[None, :, :] * pinv_arr
+        macc_ref[pl.ds(i, n)] += pr & MASK16
+        macc_ref[pl.ds(i + 1, n)] += (pr >> 16) + hi6[None, :, :] * pinv_arr
+        return 0
+
+    jax.lax.fori_loop(0, n, p2, 0)
+
+    # carry-normalize m (only the first n rows matter)
+    def mchain(k, carry):
+        t = macc_ref[k] + carry
+        macc_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, n, mchain, zeros_block)
+
+    # phase 3: u = t + m*p accumulated into acc
+    p_arr = p_ref[:]  # (n, 1, LANES)
+
+    def p3(i, _):
+        mi = macc_ref[i]
+        pr = mi[None, :, :] * p_arr
+        acc_ref[pl.ds(i, n)] += pr & MASK16
+        acc_ref[pl.ds(i + 1, n)] += pr >> 16
+        return 0
+
+    jax.lax.fori_loop(0, n, p3, 0)
+
+    # final carry over 2n columns; keep the high n limbs
+    def uchain(k, carry):
+        t = acc_ref[k] + carry
+        acc_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, 2 * n, uchain, zeros_block)
+
+    # conditional subtract p (unrolled: n small ops)
+    borrow = None
+    diff = []
+    for k in range(n):
+        t = acc_ref[n + k] + 0x10000 - p_list[k] - (borrow if borrow is not None else 0)
+        diff.append(t & MASK16)
+        borrow = 1 - (t >> 16)
+    ge = borrow == 0
+    out = [jnp.where(ge, diff[k], acc_ref[n + k]) for k in range(n)]
+    o_ref[...] = jnp.stack(out, axis=0)
+
+
+@lru_cache(maxsize=None)
+def _mul_call_v2(field: Field, rows: int, interpret: bool):
+    n = field.n16
+    p_list = tuple(int(v) for v in int_to_limbs(field.p, n))
+    pinv_list = tuple(int(v) for v in int_to_limbs(field.p_inv_neg, n))
+    kern = partial(_mont_mul_kernel_v2, n, p_list, pinv_list)
+    p_arr = np.broadcast_to(
+        np.asarray(p_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+    pinv_arr = np.broadcast_to(
+        np.asarray(pinv_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+
+    def call(a3, b3):
+        # a3, b3: (n, M, LANES) limb-major
+        m = a3.shape[1]
+        grid = (m // rows,)
+        spec = pl.BlockSpec((n, rows, LANES), lambda i: (0, i, 0))
+        cspec = pl.BlockSpec((n, 1, LANES), lambda i: (0, 0, 0))
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(a3.shape, jnp.uint32),
+            grid=grid,
+            in_specs=[spec, spec, cspec, cspec],
+            out_specs=spec,
+            scratch_shapes=[
+                pltpu.VMEM((2 * n + 1, rows, LANES), jnp.uint32),
+                pltpu.VMEM((2 * n + 1, rows, LANES), jnp.uint32),
+            ],
+            interpret=interpret,
+        )(a3, b3, jnp.asarray(p_arr), jnp.asarray(pinv_arr))
+
+    return call
+
+
+def pallas_mont_mul_v2(field: Field, a, b, interpret: bool = False):
+    """Loop-structured variant of pallas_mont_mul (same semantics).
+    Transposes to limb-major around the kernel (cheap XLA transposes)."""
+    n = field.n16
+    shape = a.shape
+    total = int(np.prod(shape[:-1]))
+    assert total % (ROWS * LANES) == 0
+    a3 = jnp.moveaxis(a.reshape(total, n), 1, 0).reshape(n, total // LANES, LANES)
+    b3 = jnp.moveaxis(b.reshape(total, n), 1, 0).reshape(n, total // LANES, LANES)
+    out = _mul_call_v2(field, ROWS, interpret)(a3, b3)
+    out = jnp.moveaxis(out.reshape(n, total), 0, 1)
+    return out.reshape(shape)
+
+
+# ------------------------------------------------------- add / sub / neg
+
+def _addsub_kernel(n, p_list, mode, a_ref, b_ref, o_ref):
+    """Fused modular add/sub on limb-major (n, rows, LANES) blocks."""
+    if mode == "add":
+        # s = a + b with carries, then conditional -p
+        carry = None
+        s = []
+        for k in range(n):
+            t = a_ref[k] + b_ref[k] + (carry if carry is not None else 0)
+            s.append(t & MASK16)
+            carry = t >> 16
+        borrow = None
+        diff = []
+        for k in range(n):
+            t = s[k] + 0x10000 - p_list[k] - (borrow if borrow is not None else 0)
+            diff.append(t & MASK16)
+            borrow = 1 - (t >> 16)
+        # value >= p when no borrow OR the add carried out of the top limb
+        ge = (borrow == 0) | (carry > 0)
+        out = [jnp.where(ge, diff[k], s[k]) for k in range(n)]
+    else:
+        # d = a - b; if borrow, add p back
+        borrow = None
+        d = []
+        for k in range(n):
+            t = a_ref[k] + 0x10000 - b_ref[k] - (borrow if borrow is not None else 0)
+            d.append(t & MASK16)
+            borrow = 1 - (t >> 16)
+        carry = None
+        fixed = []
+        for k in range(n):
+            t = d[k] + p_list[k] + (carry if carry is not None else 0)
+            fixed.append(t & MASK16)
+            carry = t >> 16
+        neg = borrow == 1
+        out = [jnp.where(neg, fixed[k], d[k]) for k in range(n)]
+    o_ref[...] = jnp.stack(out, axis=0)
+
+
+@lru_cache(maxsize=None)
+def _addsub_call(field: Field, rows: int, mode: str, interpret: bool):
+    n = field.n16
+    p_list = tuple(int(v) for v in int_to_limbs(field.p, n))
+    kern = partial(_addsub_kernel, n, p_list, mode)
+
+    def call(a3, b3):
+        m = a3.shape[1]
+        grid = (m // rows,)
+        spec = pl.BlockSpec((n, rows, LANES), lambda i: (0, i, 0))
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(a3.shape, jnp.uint32),
+            grid=grid,
+            in_specs=[spec, spec],
+            out_specs=spec,
+            interpret=interpret,
+        )(a3, b3)
+
+    return call
+
+
+def pallas_addsub(field: Field, a, b, mode: str, interpret: bool = False):
+    """Fused modular add ('add') or sub ('sub'). Shapes as pallas_mont_mul."""
+    n = field.n16
+    shape = a.shape
+    total = int(np.prod(shape[:-1]))
+    assert total % (ROWS * LANES) == 0
+    a3 = jnp.moveaxis(a.reshape(total, n), 1, 0).reshape(n, total // LANES, LANES)
+    b3 = jnp.moveaxis(b.reshape(total, n), 1, 0).reshape(n, total // LANES, LANES)
+    out = _addsub_call(field, ROWS, mode, interpret)(a3, b3)
+    return jnp.moveaxis(out.reshape(n, total), 0, 1).reshape(shape)

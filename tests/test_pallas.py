@@ -31,3 +31,19 @@ def test_pallas_ok_shapes():
     assert pallas_ok((2, 2048, 16), 16)
     assert not pallas_ok((100, 16), 16)
     assert not pallas_ok((4096, 8), 16)
+
+
+@pytest.mark.parametrize("field", [F257, F_STARK, F_BLS], ids=lambda f: f.name)
+@pytest.mark.parametrize("mode", ["add", "sub"])
+def test_pallas_addsub_matches_jnp(field, mode):
+    from hodor_tpu.field.pallas_kernels import pallas_addsub
+
+    random.seed(19)
+    ops = ops_for(field)
+    n = 4096
+    xs = [random.randrange(field.p) for _ in range(n - 2)] + [0, field.p - 1]
+    ys = [random.randrange(field.p) for _ in range(n - 2)] + [field.p - 1, field.p - 1]
+    a, b = ops.encode(xs), ops.encode(ys)
+    got = pallas_addsub(field, a, b, mode, interpret=True)
+    ref = ops.jadd(a, b) if mode == "add" else ops.jsub(a, b)
+    assert (np.asarray(got) == np.asarray(ref)).all()
