@@ -1,0 +1,60 @@
+"""FRI equivalence and round-trip tests.
+
+Ports the reference's cross-implementation pattern: by-values vs
+by-coefficients FRI must agree on challenges, roots, and final
+coefficients (test_fri_on_values_vs_on_coefficients, src/fri/mod.rs:509-691),
+plus the prototype verifier sweep (test_one_fri_step, :251-361).
+"""
+
+import random
+
+from hodor_tpu.domain import Domain
+from hodor_tpu.field import F257, ops_for
+from hodor_tpu.fri import NaiveFriIop
+from hodor_tpu.ntt import lde
+
+
+def _make_lde(field, log_t, lde_factor, seed):
+    random.seed(seed)
+    ops = ops_for(field)
+    coeffs = [random.randrange(field.p) for _ in range(1 << log_t)]
+    return lde(ops, ops.encode(coeffs), lde_factor)
+
+
+def test_fri_values_vs_coefficients_equivalence():
+    field = F257
+    lde_values = _make_lde(field, 3, 8, seed=41)
+    by_vals = NaiveFriIop.proof_from_lde_by_values(lde_values, 8, 1, field)
+    by_coeffs = NaiveFriIop.proof_from_lde_through_coefficients(lde_values, 8, 1, field)
+    assert by_vals.challenges == by_coeffs.challenges
+    assert by_vals.get_roots() == by_coeffs.get_roots()
+    assert by_vals.final_coefficients == by_coeffs.final_coefficients
+    ops = ops_for(field)
+    for a, b in zip(by_vals.intermediate_values, by_coeffs.intermediate_values):
+        assert list(ops.decode(a)) == list(ops.decode(b))
+
+
+def test_fri_prototype_verifier_sweep():
+    # every odd index must verify against the prototype (reference sweeps
+    # odd indices, src/fri/mod.rs:286-310)
+    field = F257
+    lde_values = _make_lde(field, 2, 4, seed=42)
+    proto = NaiveFriIop.proof_from_lde_by_values(lde_values, 4, 1, field)
+    for i in range(1, lde_values.shape[0], 2):
+        assert NaiveFriIop.verify_prototype(proto, lde_values, i, field), i
+
+
+def test_fri_query_proof_round_trip_and_rejection():
+    field = F257
+    lde_values = _make_lde(field, 3, 8, seed=43)
+    ops = ops_for(field)
+    proto = NaiveFriIop.proof_from_lde_by_values(lde_values, 8, 1, field)
+    idx = 33
+    proof = NaiveFriIop.prototype_into_proof(proto, lde_values, idx, field)
+    expected = int(ops.decode(lde_values[idx]))
+    assert NaiveFriIop.verify_proof(proof, idx, expected, field)
+    # wrong expected value fails
+    assert not NaiveFriIop.verify_proof(proof, idx, (expected + 1) % field.p, field)
+    # tampered final coefficient fails
+    proof.final_coefficients[0] = (proof.final_coefficients[0] + 1) % field.p
+    assert not NaiveFriIop.verify_proof(proof, idx, expected, field)
