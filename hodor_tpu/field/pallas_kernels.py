@@ -294,6 +294,200 @@ def pallas_mont_mul_v2(field: Field, a, b, interpret: bool = False):
     return out.reshape(shape)
 
 
+# ------------------------------------------------- wide reduce (+twiddle)
+# The matmul NTT (ntt/matmul.py) produces, per output element, 4n-1
+# base-256 "wide" columns of the exact integer sum_j W[k,j]*x[j]
+# (< radix * p^2). The Montgomery reduction of those columns back to
+# 16-bit-limb form - plus the level-twiddle Montgomery multiply that
+# immediately follows it - is the elementwise arithmetic that dominated
+# the round-1 profile (the s8 MXU dots are nearly free; XLA fragments
+# the reduction into dozens of HBM-bound fusions). This kernel runs the
+# whole fold -> carry -> m -> m*p -> carry -> cond-sub chain -> twiddle
+# Montgomery-mul pipeline in one Mosaic kernel over (C, rows, 128)
+# limb-major blocks, mirroring hodor_tpu.ntt.matmul._mont_reduce_wide
+# bit-exactly.
+
+
+def _cond_sub_ints(u, sub_list, n):
+    """Conditionally subtract a constant limb tuple from limb-plane list
+    u (only when u >= value)."""
+    borrow = None
+    diff = []
+    for k in range(n):
+        t = u[k] + 0x10000 - sub_list[k] - (borrow if borrow is not None else 0)
+        diff.append(t & MASK16)
+        borrow = 1 - (t >> 16)
+    ge = borrow == 0
+    return [jnp.where(ge, diff[k], u[k]) for k in range(n)]
+
+
+def _wide_reduce_kernel(n, chain, p_list, pinv_list, has_tw, *refs):
+    """Blocks are LIMB-MAJOR. cols_ref: (4n-1, R, L) uint32 base-256
+    columns (< 2^31) of t < radix*p^2; optional tw_ref (n, R, L)
+    Montgomery twiddles; o_ref (n, R, L) = t*R^-1 (* tw * R^-1) mod p."""
+    if has_tw:
+        cols_ref, tw_ref, p_ref, pinv_ref, o_ref, acc_ref, macc_ref = refs
+    else:
+        cols_ref, p_ref, pinv_ref, o_ref, acc_ref, macc_ref = refs
+    C = cols_ref.shape[0]
+    R, L = cols_ref.shape[1], cols_ref.shape[2]
+    zeros_block = jnp.zeros((R, L), jnp.uint32)
+    macc_ref[...] = jnp.zeros((2 * n + 1, R, L), jnp.uint32)
+
+    # fold base-256 columns into 2n relaxed 16-bit columns
+    # t = sum_i A_i*2^(16i) + 256*sum_i B_i*2^(16i), A/B = even/odd cols
+    # limb_i = A_i + (B_i & 0xFF)<<8 + (B_{i-1} >> 8)  (< 2^29)
+    for i in range(2 * n):
+        val = cols_ref[2 * i]
+        if 2 * i + 1 < C:
+            val = val + ((cols_ref[2 * i + 1] & 0xFF) << 8)
+        if i >= 1:
+            val = val + (cols_ref[2 * i - 1] >> 8)
+        acc_ref[i] = val
+    acc_ref[2 * n] = zeros_block
+
+    # carry-normalize t over 2n limbs
+    def tchain(k, carry):
+        t = acc_ref[k] + carry
+        acc_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, 2 * n, tchain, zeros_block)
+
+    # m = (t mod R) * p' mod R (truncated conv; t limbs proper 16-bit)
+    pinv_arr = pinv_ref[:]  # (n, 1, L)
+
+    def p2(i, _):
+        ti = acc_ref[i]
+        pr = ti[None, :, :] * pinv_arr
+        macc_ref[pl.ds(i, n)] += pr & MASK16
+        macc_ref[pl.ds(i + 1, n)] += pr >> 16
+        return 0
+
+    jax.lax.fori_loop(0, n, p2, 0)
+
+    def mchain(k, carry):
+        t = macc_ref[k] + carry
+        macc_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, n, mchain, zeros_block)
+
+    # u = (t + m*p) / R
+    p_arr = p_ref[:]  # (n, 1, L)
+
+    def p3(i, _):
+        mi = macc_ref[i]
+        pr = mi[None, :, :] * p_arr
+        acc_ref[pl.ds(i, n)] += pr & MASK16
+        acc_ref[pl.ds(i + 1, n)] += pr >> 16
+        return 0
+
+    jax.lax.fori_loop(0, n, p3, 0)
+
+    def uchain(k, carry):
+        t = acc_ref[k] + carry
+        acc_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, 2 * n, uchain, zeros_block)
+
+    # bound-derived conditional-subtract chain brings u below p
+    u = [acc_ref[n + k] for k in range(n)]
+    for mult in chain:
+        u = _cond_sub_ints(u, mult, n)
+
+    if not has_tw:
+        o_ref[...] = jnp.stack(u, axis=0)
+        return
+
+    # fused twiddle: full Montgomery multiply u * tw (v2 mul structure)
+    o_ref[...] = jnp.stack(u, axis=0)
+    acc_ref[...] = jnp.zeros((2 * n + 1, R, L), jnp.uint32)
+    macc_ref[...] = jnp.zeros((2 * n + 1, R, L), jnp.uint32)
+    tw_list = tw_ref[:]  # (n, R, L)
+
+    def q1(i, _):
+        xi = o_ref[i]
+        prod = xi[None, :, :] * tw_list
+        acc_ref[pl.ds(i, n)] += prod & MASK16
+        acc_ref[pl.ds(i + 1, n)] += prod >> 16
+        return 0
+
+    jax.lax.fori_loop(0, n, q1, 0)
+
+    def q2(i, _):
+        ti = acc_ref[i]
+        lo16 = ti & MASK16
+        hi6 = ti >> 16
+        pr = lo16[None, :, :] * pinv_arr
+        macc_ref[pl.ds(i, n)] += pr & MASK16
+        macc_ref[pl.ds(i + 1, n)] += (pr >> 16) + hi6[None, :, :] * pinv_arr
+        return 0
+
+    jax.lax.fori_loop(0, n, q2, 0)
+    jax.lax.fori_loop(0, n, mchain, zeros_block)
+    jax.lax.fori_loop(0, n, p3, 0)
+    jax.lax.fori_loop(0, 2 * n, uchain, zeros_block)
+    u = [acc_ref[n + k] for k in range(n)]
+    u = _cond_sub_ints(u, p_list, n)
+    o_ref[...] = jnp.stack(u, axis=0)
+
+
+@lru_cache(maxsize=None)
+def _wide_reduce_call(field: Field, chain, rows: int, has_tw: bool, interpret: bool):
+    n = field.n16
+    C = 4 * n - 1
+    p_list = tuple(int(v) for v in int_to_limbs(field.p, n))
+    pinv_list = tuple(int(v) for v in int_to_limbs(field.p_inv_neg, n))
+    kern = partial(_wide_reduce_kernel, n, chain, p_list, pinv_list, has_tw)
+    p_arr = np.broadcast_to(
+        np.asarray(p_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+    pinv_arr = np.broadcast_to(
+        np.asarray(pinv_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+
+    def call(cols3, tw3):
+        m = cols3.shape[1]
+        grid = (m // rows,)
+        cspec = pl.BlockSpec((C, rows, LANES), lambda i: (0, i, 0))
+        lspec = pl.BlockSpec((n, rows, LANES), lambda i: (0, i, 0))
+        const_spec = pl.BlockSpec((n, 1, LANES), lambda i: (0, 0, 0))
+        in_specs = [cspec] + ([lspec] if has_tw else []) + [const_spec, const_spec]
+        args = [cols3] + ([tw3] if has_tw else []) + [jnp.asarray(p_arr), jnp.asarray(pinv_arr)]
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n,) + cols3.shape[1:], jnp.uint32),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=lspec,
+            scratch_shapes=[
+                pltpu.VMEM((2 * n + 1, rows, LANES), jnp.uint32),
+                pltpu.VMEM((2 * n + 1, rows, LANES), jnp.uint32),
+            ],
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def pallas_wide_reduce(field: Field, cols3, chain, tw3=None, interpret: bool = False):
+    """Fused Montgomery wide-reduction (+ optional twiddle multiply).
+
+    cols3: (4*n16-1, M, 128) uint32 base-256 columns of integers
+    t < radix*p^2 (M a multiple of ROWS); chain: tuple of limb tuples
+    (multiples of p) from ntt.matmul._reduction_chain; tw3: optional
+    (n16, M, 128) Montgomery twiddles. Returns (n16, M, 128) Montgomery
+    limbs of t*R^-1 (*tw*R^-1) mod p."""
+    return _wide_reduce_call(field, chain, ROWS, tw3 is not None, interpret)(cols3, tw3)
+
+
+def wide_reduce_ok(total: int) -> bool:
+    """True when the element count supports the wide-reduce kernel."""
+    return total % (ROWS * LANES) == 0 and total >= ROWS * LANES
+
+
 # ------------------------------------------------------- add / sub / neg
 
 def _addsub_kernel(n, p_list, mode, a_ref, b_ref, o_ref):

@@ -30,7 +30,7 @@ from ..domain import (
 from ..errors import InvalidValueError, SynthesisError
 from ..field.field import Field
 from ..field.limbs import LimbOps, ops_for
-from ..merkle.tree import IopQuery, MerkleTree, verify_path
+from ..merkle.tree import IopQuery, MerkleTree, digest_to_bytes, verify_path
 from ..ntt import intt, lde
 
 
@@ -74,8 +74,7 @@ class FRIProof:
     lde_factor: int
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _fold_round(ops: LimbOps, values, challenge_limbs, stride: int, omegas_inv):
+def _fold_round_body(ops: LimbOps, values, challenge_limbs, stride: int, omegas_inv):
     """One FRI fold (src/fri/fri_on_values.rs:70-105). values: (K, L)."""
     k = values.shape[0]
     half = k // 2
@@ -84,6 +83,67 @@ def _fold_round(ops: LimbOps, values, challenge_limbs, stride: int, omegas_inv):
     v_odd = ops.mul(ops.sub(lo, hi), omegas_inv[::stride][:half])
     folded = ops.mul(ops.add(v_even, ops.mul(v_odd, challenge_limbs)), ops.two_inv_m)
     return folded
+
+
+_fold_round = partial(jax.jit, static_argnums=(0, 3))(_fold_round_body)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _fri_chain(ops: LimbOps, lde_values, num_steps: int, omegas_inv):
+    """The ENTIRE FRI prover ladder as one device program: commit l0,
+    then per round fold -> leaf hash -> all tree levels -> root ->
+    next challenge, with the root->field challenge derivation done ON
+    DEVICE (digest_to_challenge_mont). Valid because FRI fold challenges
+    come straight from each round's root and never touch the transcript
+    (src/fri/fri_on_values.rs:106-109, :122-127); the only host syncs
+    left are one stacked-roots fetch and the final-coefficients decode.
+
+    Returns (trees, roots_stacked, intermediate_values, final_coeffs):
+    trees = tuple of (leaf_hashes, levels) per committed vector
+    (l0 first), roots_stacked (num_trees, 8) uint32."""
+    from ..merkle.blake2s import digest_to_challenge_mont
+    from ..merkle.tree import _build_levels
+
+    trees = []
+    roots = []
+    values = lde_values
+    leaf_hashes, levels = _build_levels(values)
+    trees.append((leaf_hashes, tuple(levels)))
+    roots.append(levels[-1][0])
+    challenge = digest_to_challenge_mont(ops, levels[-1][0])
+
+    intermediate = []
+    for i in range(num_steps):
+        folded = _fold_round_body(ops, values, challenge, 1 << i, omegas_inv)
+        lh, lv = _build_levels(folded)
+        trees.append((lh, tuple(lv)))
+        roots.append(lv[-1][0])
+        challenge = digest_to_challenge_mont(ops, lv[-1][0])
+        intermediate.append(folded)
+        values = folded
+
+    final_coeffs = intt(ops, values)
+    return tuple(trees), jnp.stack(roots), tuple(intermediate), final_coeffs
+
+
+@jax.jit
+def _gather_chain_queries(chain_data, idx_arrays):
+    """One fused gather of every round's query values + full Merkle
+    paths (replaces per-level device_gets; src/fri/query_producer.rs
+    walks the same (tree, coset) chain). chain_data: list of
+    (leaf_hashes, levels_tuple, committed_values); idx_arrays: list of
+    (Q,) int32 tree indices per round. Returns per round
+    (values (Q, L), sibling digests (depth, Q, 8))."""
+    out = []
+    for (lh, levels, vals), idx in zip(chain_data, idx_arrays):
+        v = jnp.take(vals, idx, axis=0)
+        sibs = [jnp.take(lh, idx ^ 1, axis=0)]
+        cur = idx >> 1
+        for level in levels[:-1]:
+            sibs.append(jnp.take(level, cur ^ 1, axis=0))
+            cur = cur >> 1
+        out.append((v, jnp.stack(sibs, axis=0)))
+    return out
 
 
 class NaiveFriIop:
@@ -105,41 +165,44 @@ class NaiveFriIop:
         lde_values, lde_factor: int, output_coeffs_at_degree_plus_one: int, field: Field
     ) -> FRIProofPrototype:
         """lde_values: (N, L) Montgomery device array.
-        Port of src/fri/fri_on_values.rs:11-163."""
+        Port of src/fri/fri_on_values.rs:11-163 - but the whole ladder
+        (folds, Merkle trees, root->challenge) runs as ONE device program
+        (_fri_chain); host work is a single stacked-roots fetch plus the
+        final-coefficients decode."""
         ops = ops_for(field)
         n = lde_values.shape[0]
         assert output_coeffs_at_degree_plus_one & (output_coeffs_at_degree_plus_one - 1) == 0
         assert lde_factor & (lde_factor - 1) == 0
 
-        l0 = MerkleTree.create(lde_values, field)
-        domain = Domain.new_for_size(field, n)
-        omegas_inv = ops.powers(ops.const(domain.generator_inv), n // 2)  # (N/2, L)
+        from ..ntt import _omega_table
+
+        # host-cached twiddle table (no eager device dispatches)
+        omegas_inv = jnp.asarray(_omega_table(field, log2_floor(n), True))  # (N/2, L)
 
         initial_degree_plus_one = n // lde_factor
         num_steps = log2_floor(initial_degree_plus_one // output_coeffs_at_degree_plus_one)
 
-        challenges = [l0.get_challenge_scalar_from_root()]
-        intermediate_commitments: List[MerkleTree] = []
-        intermediate_values: List[jnp.ndarray] = []
-        roots: List[bytes] = []
+        trees, roots_dev, intermediate_values, final_coeffs_dev = _fri_chain(
+            ops, lde_values, num_steps, omegas_inv
+        )
+        roots_np = np.asarray(jax.device_get(roots_dev))  # (num_trees, 8)
+        root_bytes = [digest_to_bytes(r) for r in roots_np]
 
-        values = lde_values
-        for i in range(num_steps):
-            folded = _fold_round(ops, values, ops.const(challenges[-1]), 1 << i, omegas_inv)
-            tree = MerkleTree.create(folded, field)
-            roots.append(tree.get_root())
-            challenges.append(tree.get_challenge_scalar_from_root())
-            intermediate_commitments.append(tree)
-            intermediate_values.append(folded)
-            values = folded
+        l0 = MerkleTree(trees[0][0], list(trees[0][1]), field, root_bytes=root_bytes[0])
+        intermediate_commitments = [
+            MerkleTree(lh, list(lv), field, root_bytes=rb)
+            for (lh, lv), rb in zip(trees[1:], root_bytes[1:])
+        ]
+        # all tree challenges except the last tree's (the final fold draws
+        # none, fri_on_values.rs:122); num_steps == 0 leaves it empty
+        challenges = [field.from_be_with_shave(rb) for rb in root_bytes[:-1]]
+        roots = root_bytes[1:]
+        final_root = roots[-1] if roots else root_bytes[0]
 
-        challenges.pop()  # final challenge unnecessary (fri_on_values.rs:122)
-        final_root = roots[-1] if roots else l0.get_root()
-
-        final_coeffs_dev = intt(ops, values)
         final_coeffs = [int(v) for v in ops.decode(final_coeffs_dev)][
             :output_coeffs_at_degree_plus_one
         ]
+        intermediate_values = list(intermediate_values)
 
         return FRIProofPrototype(
             l0_commitment=l0,
@@ -208,24 +271,37 @@ class NaiveFriIop:
     ) -> FRIProof:
         """Walk all rounds producing coset queries
         (src/fri/query_producer.rs:10-53). iop_values is the (N, L) device
-        array committed in l0."""
+        array committed in l0. All rounds' values + full Merkle paths are
+        gathered in ONE device program + ONE transfer."""
+        from ..merkle.tree import digest_to_bytes
+
         ops = ops_for(field)
         domain_size = prototype.initial_degree_plus_one * prototype.lde_factor
         domain_idx = natural_first_element_index
 
-        queries: List[IopQuery] = []
-        roots: List[bytes] = []
-
         trees = [prototype.l0_commitment] + list(prototype.intermediate_commitments)
         values = [iop_values] + list(prototype.intermediate_values)
 
+        chain_data = []
+        idx_arrays = []
+        cosets = []
         for tree, vals in zip(trees, values):
             coset = coset_for_natural_index_and_size(domain_idx, domain_size)
-            for idx in coset:
-                value = int(ops.decode(vals[idx]))
-                queries.append(IopQuery(index=idx, value=value, path=tree.get_path(idx)))
-            roots.append(tree.get_root())
+            cosets.append(coset)
+            chain_data.append((tree.leaf_hashes, tuple(tree.levels), vals))
+            idx_arrays.append(jnp.asarray(np.asarray(coset, dtype=np.int32)))
             domain_idx, domain_size = index_and_size_for_next_domain(domain_idx, domain_size)
+
+        gathered = jax.device_get(_gather_chain_queries(chain_data, idx_arrays))
+
+        queries: List[IopQuery] = []
+        roots: List[bytes] = []
+        for tree, coset, (v, sibs) in zip(trees, cosets, gathered):
+            vals_dec = ops.decode(v)  # (Q,) canonical ints
+            for qi, idx in enumerate(coset):
+                path = [digest_to_bytes(sibs[d, qi]) for d in range(sibs.shape[0])]
+                queries.append(IopQuery(index=idx, value=int(vals_dec[qi]), path=path))
+            roots.append(tree.get_root())
 
         return FRIProof(
             queries=queries,

@@ -175,6 +175,36 @@ def limbs_to_leaf_words(limbs):
     return words
 
 
+def digest_to_challenge_mont(ops, digest):
+    """Device analog of encode_root_into_challenge
+    (src/iop/blake2s_trivial_iop.rs:226-234 -> from_be_with_shave): map a
+    (..., 8) uint32 LE-word digest to the Montgomery-form field element
+    the host would derive from its bytes. Bit-exact with
+    Field.from_be_with_shave for every field whose shave mask guarantees
+    the value < p (true for all three reference fields: the mask keeps
+    < 2^CAPACITY <= p bits). Lets Fiat-Shamir-free FRI fold challenges
+    (which never touch the transcript, src/fri/fri_on_values.rs:106-109)
+    stay on device across all rounds."""
+    field = ops.field
+    n16 = ops.n16
+    rs = field.repr_size  # == 2 * n16 bytes read big-endian
+    limbs = []
+    for i in range(n16):
+        b0 = rs - 1 - 2 * i  # raw digest index of canonical LE byte 2i
+        b1 = rs - 2 - 2 * i
+        lo = (digest[..., b0 // 4] >> jnp.uint32(8 * (b0 % 4))) & jnp.uint32(0xFF)
+        hi = (digest[..., b1 // 4] >> jnp.uint32(8 * (b1 % 4))) & jnp.uint32(0xFF)
+        limbs.append(lo | (hi << jnp.uint32(8)))
+    x = jnp.stack(limbs, axis=-1)  # (..., n16) canonical, unmasked
+    shave = 256 - field.capacity
+    mask64 = 0xFFFFFFFFFFFFFFFF >> (shave % 64)
+    masks = np.full(n16, 0xFFFF, dtype=np.uint32)
+    for k in range(4):
+        masks[4 * (field.n64 - 1) + k] = (mask64 >> (16 * k)) & 0xFFFF
+    x = x & jnp.asarray(masks)
+    return ops.to_mont_arr(x)
+
+
 def blake2s_keyed(data: bytes) -> bytes:
     """Host-side reference keyed hash (for transcript & verification)."""
     import hashlib

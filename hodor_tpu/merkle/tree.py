@@ -66,14 +66,18 @@ class IopQuery:
 
 
 class MerkleTree:
-    """Device-built Blake2s commitment tree over field-element leaves."""
+    """Device-built Blake2s commitment tree over field-element leaves.
 
-    def __init__(self, leaf_hashes, levels, field: Field):
+    The root is fetched lazily: fused prover programs (one jit spanning
+    many trees) pass `root_bytes` up front so constructing a tree costs
+    zero host round trips."""
+
+    def __init__(self, leaf_hashes, levels, field: Field, root_bytes: bytes = None):
         self.field = field
         self.leaf_hashes = leaf_hashes  # (N, 8) uint32 device
         self.levels = levels  # bottom-up internal levels
         self.size = int(leaf_hashes.shape[0])
-        self._root_bytes = digest_to_bytes(jax.device_get(levels[-1][0]))
+        self._root_bytes = root_bytes
 
     @staticmethod
     def create(leaf_limbs, field: Field) -> "MerkleTree":
@@ -84,12 +88,14 @@ class MerkleTree:
         return MerkleTree(leaf_hashes, levels, field)
 
     def get_root(self) -> bytes:
+        if self._root_bytes is None:
+            self._root_bytes = digest_to_bytes(jax.device_get(self.levels[-1][0]))
         return self._root_bytes
 
     def get_challenge_scalar_from_root(self) -> int:
         """Root -> field challenge (encode_root_into_challenge,
         src/iop/blake2s_trivial_iop.rs:226-234: BE read + shave)."""
-        return self.field.from_be_with_shave(self._root_bytes)
+        return self.field.from_be_with_shave(self.get_root())
 
     def get_path(self, tree_index: int) -> List[bytes]:
         """Sibling path: [pair leaf hash, then internal siblings up to the
@@ -101,6 +107,17 @@ class MerkleTree:
             path.append(digest_to_bytes(jax.device_get(level[idx ^ 1])))
             idx >>= 1
         return path
+
+    def path_arrays(self, idx):
+        """Traceable batched path gather: idx (Q,) int32 -> (depth, Q, 8)
+        sibling digests bottom-up (one jittable gather for all levels,
+        replacing the per-level device_get of get_path)."""
+        sibs = [jnp.take(self.leaf_hashes, idx ^ 1, axis=0)]
+        cur = idx >> 1
+        for level in self.levels[:-1]:
+            sibs.append(jnp.take(level, cur ^ 1, axis=0))
+            cur = cur >> 1
+        return jnp.stack(sibs, axis=0)
 
     def query(self, natural_index: int, leaf_values_canonical) -> IopQuery:
         """Produce an opening; leaf_values_canonical is an object ndarray of

@@ -72,17 +72,13 @@ def _dft_matrix_folded_s8(field: Field, size: int, inverse: bool):
     s = size
     P = w.shape[-1]
     C = 2 * P - 1
-    w_fold = np.zeros((s, C, s, P), dtype=np.int64)
+    w_fold = np.zeros((C, s, s, P), dtype=np.int64)
     for c in range(C):
         for q in range(P):
             p_idx = c - q
             if 0 <= p_idx < P:
-                w_fold[:, c, :, q] = w[:, :, p_idx]
-    w_sum = w_fold.sum(axis=(2, 3)).astype(np.int32)  # (S, C)
-    cnt = np.array(
-        [s * len([q for q in range(P) if 0 <= c - q < P]) for c in range(C)],
-        dtype=np.int32,
-    )
+                w_fold[c, :, :, q] = w[:, :, p_idx]
+    w_sum = w_fold.sum(axis=(2, 3)).astype(np.int32)  # (C, S)
     w_s8 = (w_fold - 128).astype(np.int8)
     # out-of-range (p_idx invalid) entries were 0 -> become -128; they must
     # contribute exactly -128*(x-128) so the correction terms cancel them:
@@ -200,7 +196,12 @@ def _mont_reduce_wide(ops: LimbOps, cols, radix: int):
     return u
 
 
-def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool):
+# test hook: None = auto (real TPU only); "interpret" forces the Pallas
+# wide-reduce path in interpret mode so CPU tests can cover it
+_FORCE_PALLAS = None
+
+
+def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
     """Batched size-point DFT over axis -2 via ONE fused s8 MXU matmul.
 
     The plane convolution is folded into the W operand
@@ -209,7 +210,13 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool):
     Both operands are offset by -128 into int8 for the native MXU int8
     path; the exact integer result is recovered with rank-1 corrections:
 
-      sum wb*xb = C_s8 + 128*Sx[m] + 128*Wsum[k,c] - 128^2 * S * P
+      sum wb*xb = C_s8 + 128*Sx[m] + 128*Wsum[c,k] - 128^2 * S * P
+
+    The Montgomery wide-reduction of the result columns - and the
+    optional elementwise twiddle multiply `tw` (same shape as the
+    output; applied after the DFT) - run in ONE fused Pallas kernel on
+    TPU (field/pallas_kernels.pallas_wide_reduce); off-TPU they use the
+    jnp path.
 
     x: (..., size, L) Montgomery -> (..., size, L) Montgomery.
     """
@@ -219,8 +226,8 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool):
     lead = x.shape[:-2]
     m = int(np.prod(lead)) if lead else 1
     w_s8, w_sum, _cnt = _dft_matrix_folded_s8(field, size, inverse)
-    w_s8 = jnp.asarray(w_s8)  # (S, C, S, P) int8
-    w_sum = jnp.asarray(w_sum)  # (S, C) int32
+    w_s8 = jnp.asarray(w_s8)  # (C, S, S, P) int8
+    w_sum = jnp.asarray(w_sum)  # (C, S) int32
     C = 2 * P - 1
 
     # bytes of x as int8 (offset by -128), shaped (S_j, M, P)
@@ -234,16 +241,45 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool):
     c_s8 = jax.lax.dot_general(
         w_s8, x_s8, (((2, 3), (0, 2)), ((), ())),
         preferred_element_type=jnp.int32,
-    )  # (S, C, M) int32
+    )  # (C, S, M) int32
     cols = (
         c_s8
         + 128 * sx[None, None, :]
         + 128 * w_sum[:, :, None]
         - (128 * 128) * size * P
+    ).astype(jnp.uint32)  # (C, S, M)
+
+    total = size * m
+    from ..field.limbs import _pallas_enabled
+    from ..field.pallas_kernels import LANES, pallas_wide_reduce, wide_reduce_ok
+
+    use_pallas = _FORCE_PALLAS == "interpret" or (
+        _FORCE_PALLAS is None and _pallas_enabled()
     )
-    cols = jnp.moveaxis(cols, 1, 2).astype(jnp.uint32)  # (S, M, C)
+    if use_pallas and wide_reduce_ok(total):
+        chain = tuple(
+            tuple(int(v) for v in mult) for mult in _reduction_chain(field, size)
+        )
+        cols3 = cols.reshape(C, total // LANES, LANES)
+        tw3 = None
+        if tw is not None:
+            # align tw to the kernel's (k*M + m) element order, limb-major
+            twf = jnp.moveaxis(
+                jnp.broadcast_to(tw, lead + (size, L)).reshape(m, size, L), 1, 0
+            ).reshape(total, L)
+            tw3 = jnp.moveaxis(twf, 1, 0).reshape(L, total // LANES, LANES)
+        out3 = pallas_wide_reduce(
+            field, cols3, chain, tw3, interpret=_FORCE_PALLAS == "interpret"
+        )  # (L, total//128, 128)
+        out = jnp.transpose(out3.reshape(L, size, m), (1, 2, 0))  # (S, M, L)
+        return jnp.moveaxis(out, 0, 1).reshape(lead + (size, L))
+
+    cols = jnp.moveaxis(cols, 0, 2)  # (S, M, C)
     out = _mont_reduce_wide(ops, cols, size)  # (S, M, L)
-    return jnp.moveaxis(out, 0, 1).reshape(lead + (size, L))
+    out = jnp.moveaxis(out, 0, 1).reshape(lead + (size, L))
+    if tw is not None:
+        out = ops.mul(out, tw)
+    return out
 
 
 def ntt_matmul(ops: LimbOps, x, inverse: bool = False):
@@ -261,13 +297,12 @@ def ntt_matmul(ops: LimbOps, x, inverse: bool = False):
     lead = x.shape[:-2]
     # j = j1*n2 + j2
     a = x.reshape(lead + (n1, n2, L))
-    # inner: DFT_{n1} over j1 (axis -3) -> indexed [k1, j2]
+    # inner: DFT_{n1} over j1 (axis -3) -> indexed [k1, j2], with the
+    # twiddle w^(k1*j2) fused into the DFT's Montgomery reduction kernel
     inner = jnp.swapaxes(a, -3, -2)  # (..., n2, n1, L)
-    inner = _dft_matmul(ops, inner, n1, inverse)
+    tw = jnp.asarray(_level_twiddles(ops.field, n, n1, inverse))  # (n1, n2, L)
+    inner = _dft_matmul(ops, inner, n1, inverse, tw=jnp.swapaxes(tw, 0, 1))
     inner = jnp.swapaxes(inner, -3, -2)  # (..., n1(k1), n2(j2), L)
-    # twiddle w^(k1*j2)
-    tw = jnp.asarray(_level_twiddles(ops.field, n, n1, inverse))
-    inner = ops.mul(inner, tw)
     # outer: DFT_{n2} over j2 per k1 (recurse; k1 folds into the batch)
     outer = ntt_matmul(ops, inner, inverse)  # (..., n1(k1), n2(k2), L)
     # natural order: out[k2*n1 + k1]

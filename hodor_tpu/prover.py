@@ -3,26 +3,43 @@
 Precomputes ARP + ALI at construction (amortized across proofs, like
 Prover::new, src/prover/mod.rs:46-64); `prove` runs the full pipeline
 (witness iNTT -> f LDEs -> f oracles -> G -> G LDE/oracle -> DEEP ->
-FRI(h1), FRI(h2) -> queries) with device compute between the host-side
-Fiat-Shamir transcript points.
+FRI(h1), FRI(h2) -> queries).
+
+TPU-first structure: the pipeline is grouped into a handful of fused
+device programs with a host sync only at each Fiat-Shamir commit point
+(the protocol's true sequential dependencies, src/prover/mod.rs:82-127):
+
+  stage 1: witness iNTT + all f LDEs + all f Merkle trees -> stacked roots
+  stage G: G composition (ALI jit) + G LDE + G tree         -> root
+  DEEP:    one jit                                           -> f(mz), g(z)
+  FRI:     whole fold/commit/challenge ladder per poly (one jit each;
+           fold challenges never touch the transcript so they derive
+           on device, fri/_fri_chain)
+  queries: every oracle opening gathered in one device program
+
+An optional `jax.sharding.Mesh` shards the big evaluation-domain axes
+across devices (the multi-chip analog of the reference's Worker pool);
+sharded and single-device proofs are byte-identical.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ali import ALIInstance
 from .arp import ARPInstance, InstanceProperties
 from .errors import SynthesisError
 from .field.limbs import ops_for
 from .fri import FRIProof, NaiveFriIop
-from .merkle.tree import IopQuery, MerkleTree
-from .ntt import lde
+from .fri.fri import _gather_chain_queries
+from .merkle.tree import IopQuery, MerkleTree, _build_levels, digest_to_bytes
+from .ntt import intt, lde
 from .transcript import Blake2sTranscript, bytes_to_challenge_index
 
 
@@ -41,51 +58,75 @@ class InstanceProof:
     fri_proof_h2: FRIProof
 
 
-def _query_device(tree: MerkleTree, values_dev, natural_index: int, ops) -> IopQuery:
-    """Build an IopQuery by decoding a single committed value from device."""
-    value = int(ops.decode(values_dev[natural_index]))
-    return IopQuery(index=natural_index, value=value, path=tree.get_path(natural_index))
-
-
 class Prover:
     def __init__(self, properties: InstanceProperties, lde_factor: int,
-                 fri_final_degree_plus_one: int):
+                 fri_final_degree_plus_one: int, mesh=None):
         self.field = properties.field
         self.ops = ops_for(self.field)
         self.arp = ARPInstance.from_instance(properties)
         self.ali = ALIInstance(self.arp)
         self.lde_factor = lde_factor
         self.fri_final_degree_plus_one = fri_final_degree_plus_one
-        self._lde_fn = jax.jit(
-            lambda coeffs: lde(self.ops, coeffs, self.lde_factor)
-        )
+        self.mesh = mesh
+
+        ops = self.ops
+        num_registers = properties.num_registers
+
+        def _shard(x):
+            if self.mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = self.mesh.axis_names[0]
+            spec = P(*([None] * (x.ndim - 2)), axis, None)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, spec)
+            )
+
+        def stage1(witness_dev):
+            # witness iNTT (src/prover/mod.rs:69) + f LDEs (:71-76) + all
+            # register oracles (:78-80) in one program
+            coeffs = intt(ops, witness_dev)  # (R, T, L)
+            f_ldes = _shard(lde(ops, coeffs, lde_factor))  # (R, N_f, L)
+            trees = []
+            roots = []
+            for r in range(num_registers):
+                lh, lv = _build_levels(f_ldes[r])
+                trees.append((lh, tuple(lv)))
+                roots.append(lv[-1][0])
+            return coeffs, f_ldes, tuple(trees), jnp.stack(roots)
+
+        def stage_g(g_poly):
+            # G LDE + oracle (src/prover/mod.rs:91-95)
+            g_lde_vals = _shard(lde(ops, g_poly, lde_factor))
+            lh, lv = _build_levels(g_lde_vals)
+            return g_lde_vals, (lh, tuple(lv)), lv[-1][0]
+
+        self._stage1_fn = jax.jit(stage1)
+        self._stage_g_fn = jax.jit(stage_g)
 
     def prove(self, witness: List[List[int]]) -> InstanceProof:
         ops = self.ops
         field = self.field
         transcript = Blake2sTranscript(field)
 
-        # 1. witness -> polynomials (src/prover/mod.rs:69)
+        # 1+2. witness -> polys -> LDEs -> oracles (one device program)
         w_dev = self.arp.encode_witness(witness)
-        witness_polys = self.arp.calculate_witness_polys(w_dev)  # (R, T, L)
-
-        # 2. f LDEs + oracles (src/prover/mod.rs:71-87)
-        f_ldes = self._lde_fn(witness_polys)  # (R, N_f, L)
-        num_registers = f_ldes.shape[0]
-        f_oracles = [MerkleTree.create(f_ldes[r], field) for r in range(num_registers)]
-        f_iop_roots = []
-        for o in f_oracles:
-            root = o.get_root()
+        witness_polys, f_ldes, f_trees, f_roots_dev = self._stage1_fn(w_dev)
+        f_roots = np.asarray(jax.device_get(f_roots_dev))  # SYNC: commit roots
+        f_iop_roots = [digest_to_bytes(r) for r in f_roots]
+        f_oracles = [
+            MerkleTree(lh, list(lv), field, root_bytes=rb)
+            for (lh, lv), rb in zip(f_trees, f_iop_roots)
+        ]
+        for root in f_iop_roots:
             transcript.commit_bytes(root)
-            f_iop_roots.append(root)
 
-        # 3. G composition (src/prover/mod.rs:89)
+        # 3+4. G composition + G LDE + oracle (src/prover/mod.rs:89-95)
         g_poly = self.ali.calculate_g(transcript, witness_polys)  # (D, L)
-
-        # 4. G LDE + oracle (src/prover/mod.rs:91-95)
-        g_lde_vals = self._lde_fn(g_poly)  # (N_g, L)
-        g_oracle = MerkleTree.create(g_lde_vals, field)
-        g_iop_root = g_oracle.get_root()
+        g_lde_vals, g_tree, g_root_dev = self._stage_g_fn(g_poly)
+        g_iop_root = digest_to_bytes(jax.device_get(g_root_dev))  # SYNC
+        g_oracle = MerkleTree(g_tree[0], list(g_tree[1]), field, root_bytes=g_iop_root)
         transcript.commit_bytes(g_iop_root)
 
         # 5. DEEP (src/prover/mod.rs:99-106)
@@ -93,7 +134,8 @@ class Prover:
             witness_polys, f_ldes, g_poly, g_lde_vals, transcript
         )
 
-        # 6. FRI for h1 and h2 (src/prover/mod.rs:112-113)
+        # 6. FRI for h1 and h2 (src/prover/mod.rs:112-113); each is one
+        # fused device program (fri/_fri_chain)
         h1_proto = NaiveFriIop.proof_from_lde(
             h1_lde, self.lde_factor, self.fri_final_degree_plus_one, field
         )
@@ -123,12 +165,27 @@ class Prover:
         fri_proof_h1 = NaiveFriIop.prototype_into_proof(h1_proto, h1_lde, x_h1, field)
         fri_proof_h2 = NaiveFriIop.prototype_into_proof(h2_proto, h2_lde, x_h2, field)
 
-        # 10. f / g oracle queries (src/prover/mod.rs:146-151)
-        f_queries = [
-            _query_device(f_oracles[r], f_ldes[r], x_h1, ops)
-            for r in range(num_registers)
+        # 10. f / g oracle queries, one fused gather (src/prover/mod.rs:146-151)
+        chain_data = [
+            (o.leaf_hashes, tuple(o.levels), f_ldes[r])
+            for r, o in enumerate(f_oracles)
+        ] + [(g_oracle.leaf_hashes, tuple(g_oracle.levels), g_lde_vals)]
+        idx_arrays = [jnp.asarray([x_h1], jnp.int32)] * len(f_oracles) + [
+            jnp.asarray([x_h2], jnp.int32)
         ]
-        g_query = _query_device(g_oracle, g_lde_vals, x_h2, ops)
+        gathered = jax.device_get(_gather_chain_queries(chain_data, idx_arrays))
+        f_queries = []
+        for r, (v, sibs) in enumerate(gathered[:-1]):
+            path = [digest_to_bytes(sibs[d, 0]) for d in range(sibs.shape[0])]
+            f_queries.append(
+                IopQuery(index=x_h1, value=int(ops.decode(v[0])), path=path)
+            )
+        gv, gsibs = gathered[-1]
+        g_query = IopQuery(
+            index=x_h2,
+            value=int(ops.decode(gv[0])),
+            path=[digest_to_bytes(gsibs[d, 0]) for d in range(gsibs.shape[0])],
+        )
 
         return InstanceProof(
             f_at_z_m=f_at_z_m,

@@ -34,6 +34,60 @@ def test_pallas_ok_shapes():
 
 
 @pytest.mark.parametrize("field", [F257, F_STARK, F_BLS], ids=lambda f: f.name)
+def test_pallas_mul_v2_matches_jnp(field):
+    """v2 (the loop-structured kernel LimbOps.mul actually dispatches to
+    on TPU, field/limbs.py:309-312) must be bit-exact incl. edge values."""
+    from hodor_tpu.field.pallas_kernels import pallas_mont_mul_v2
+
+    random.seed(23)
+    ops = ops_for(field)
+    n = 8192
+    edge = [0, 1, field.p - 1, field.p - 2]
+    xs = [random.randrange(field.p) for _ in range(n - 8)] + edge + edge
+    ys = edge + [random.randrange(field.p) for _ in range(n - 8)] + [
+        field.p - 1, field.p - 1, 1, 0,
+    ]
+    a, b = ops.encode(xs), ops.encode(ys)
+    out = pallas_mont_mul_v2(field, a, b, interpret=True)
+    ref = ops.jmul(a, b)
+    assert (np.asarray(out) == np.asarray(ref)).all()
+
+
+@pytest.mark.parametrize("field", [F257, F_STARK, F_BLS], ids=lambda f: f.name)
+def test_pallas_wide_reduce_matmul_ntt(field):
+    """The fused wide-reduce(+twiddle) kernel (interpret mode) must make
+    the matmul NTT bit-identical to its jnp reduction path."""
+    import jax
+
+    import hodor_tpu.ntt.matmul as mm
+
+    rng = np.random.default_rng(31)
+    ops = ops_for(field)
+    # max domain limited by 2-adicity (F257: S=8 -> 256); kernel needs
+    # >= 4096 elements, so batch the small field
+    if field.S >= 12:
+        shape = (1 << 12, ops.n16)
+    else:
+        shape = (32, 256, ops.n16)
+    limbs = rng.integers(0, 1 << 16, size=shape, dtype=np.uint32)
+    top_bits = field.num_bits - 16 * (ops.n16 - 1)
+    limbs[..., -1] &= (1 << max(top_bits - 1, 1)) - 1
+    a = jax.device_put(limbs)
+    old = mm._FORCE_PALLAS
+    try:
+        mm._FORCE_PALLAS = False  # force jnp fallback
+        ref = np.asarray(mm.ntt_matmul(ops, a))
+        ref_inv = np.asarray(mm.ntt_matmul(ops, a, inverse=True))
+        mm._FORCE_PALLAS = "interpret"
+        got = np.asarray(mm.ntt_matmul(ops, a))
+        got_inv = np.asarray(mm.ntt_matmul(ops, a, inverse=True))
+    finally:
+        mm._FORCE_PALLAS = old
+    assert (ref == got).all()
+    assert (ref_inv == got_inv).all()
+
+
+@pytest.mark.parametrize("field", [F257, F_STARK, F_BLS], ids=lambda f: f.name)
 @pytest.mark.parametrize("mode", ["add", "sub"])
 def test_pallas_addsub_matches_jnp(field, mode):
     from hodor_tpu.field.pallas_kernels import pallas_addsub
