@@ -3,9 +3,10 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: Montgomery field multiplications per second sustained by the
-radix-2 NTT over the reference's benchmark field (the 2^251+17*2^192+1
+NTT over the reference's benchmark field (the 2^251+17*2^192+1
 prime, src/experiments/mod.rs:18-21) at N = 2^BENCH_LOG_N (default
-2^18). An NTT does (N/2)*log2(N) field muls. vs_baseline compares
+2^16; the radix-2 mul count (N/2)*log2(N) is the work unit even for
+the matmul kernel, so rates are comparable). vs_baseline compares
 against BASELINE_MULS_PER_S - an estimate of the multicore Rust
 reference's sustained field-mul throughput (64-core CPU; ff_ce 4x u64
 Montgomery mul ~= 50ns/core -> ~1.3e9 mul/s ideal, derated 50% for
@@ -70,7 +71,8 @@ def bench_prove():
     t0 = time.time()
     prover.prove(witness)
     warm = time.time() - t0
-    print(f"# prove (warm) {warm:.1f}s", file=sys.stderr)
+    print(f"# prove (warm) {warm:.1f}s; stages:", file=sys.stderr)
+    print(prover.last_timings.report(), file=sys.stderr)
     # reference estimate: ~40 T-sized FFT equivalents at baseline mul rate
     est_ref = 40 * (t_rows / 2 * log_rows) / BASELINE_MULS_PER_S
     print(

@@ -150,8 +150,122 @@ class ALIInstance:
             row: precomp["boundary"][i] for i, row in enumerate(self._boundary_rows)
         }
 
+        self._batch_tables = {
+            key: self._build_batch_tables(batch) for key, batch in self.batches.items()
+        }
+
         self._g_fn = None
         self._deep_fn = None
+
+    # Above this many constraints in a density batch, constraint
+    # evaluation switches from trace-time unrolling (best XLA fusion for
+    # the small AIRs the reference benchmarks) to a lax.scan over a
+    # static (constraint, term, factor) index table, keeping compile
+    # time O(1) in constraint count (the reference's per-constraint loop
+    # is src/ali/per_register/mod.rs:425-476).
+    _SCAN_THRESHOLD = 8
+
+    def _build_batch_tables(self, batch: List[Constraint]):
+        """Static (constraint, term, factor) index tables driving the
+        scanned evaluation path."""
+        field = self.field
+        n_c = len(batch)
+        max_terms = max(len(c.terms) for c in batch)
+        max_factors = 1
+        for c in batch:
+            for t in c.terms:
+                unis = [t] if isinstance(t, UnivariateTerm) else t.terms
+                max_factors = max(max_factors, len(unis))
+
+        k_ones = len(self.term_ldes)  # extra slot: the all-ones LDE
+        ti = np.full((n_c, max_terms, max_factors), k_ones, dtype=np.int32)
+        coeffs = np.zeros((n_c, max_terms), dtype=object)
+        consts = np.zeros((n_c,), dtype=object)
+        adjs = np.zeros((n_c,), dtype=np.int64)
+        for i, c in enumerate(batch):
+            consts[i] = c.constant_term % field.p
+            adjs[i] = self.max_constraint_power - c.degree
+            for j, t in enumerate(c.terms):
+                unis = [t] if isinstance(t, UnivariateTerm) else t.terms
+                coeffs[i, j] = t.coeff % field.p
+                for f, u in enumerate(unis):
+                    ti[i, j, f] = self.term_ldes[
+                        (
+                            self.mask_index[
+                                MaskProperties(u.register.index, u.steps_difference.value)
+                            ],
+                            u.power,
+                        )
+                    ]
+        distinct_adjs = sorted(set(int(a) for a in adjs))
+        adj_sel = np.array([distinct_adjs.index(int(a)) for a in adjs], dtype=np.int32)
+        ops = self.ops
+        return {
+            "ti": ti,
+            "coeffs": np.asarray(jax.device_get(ops.encode(coeffs.tolist()))),
+            "consts": np.asarray(jax.device_get(ops.encode(consts.tolist()))),
+            "adjs": tuple(distinct_adjs),
+            "adj_sel": adj_sel,
+            "beta_zero": np.asarray(adjs == 0),
+        }
+
+    def _eval_batch_scanned(self, key, term_vals, alphas, betas, adj_pows, coset_values):
+        """Evaluate one density batch of constraints with lax.scan over
+        the static index tables (graph size independent of batch size)."""
+        ops = self.ops
+        tables = self._batch_tables[key]
+        d_size = term_vals.shape[1]
+        L = ops.n16
+        ones_lde = jnp.broadcast_to(ops.one_m, (1, d_size, L))
+        tv_ext = jnp.concatenate([term_vals, ones_lde], axis=0)  # (K+1, D, L)
+
+        for adj in tables["adjs"]:
+            if adj != 0 and adj not in adj_pows:
+                adj_pows[adj] = ops.pow_static(coset_values, adj)
+        adj_stack = jnp.stack(
+            [
+                adj_pows[adj] if adj != 0 else jnp.broadcast_to(ops.one_m, (d_size, L))
+                for adj in tables["adjs"]
+            ]
+        )  # (n_adj, D, L)
+
+        # beta contributes only when the constraint has a degree
+        # adjustment (reference :449-460: adjustment == 0 -> alpha only)
+        betas_eff = ops.select(
+            jnp.asarray(~tables["beta_zero"]), betas, jnp.zeros_like(betas)
+        )
+        ti = jnp.asarray(tables["ti"])  # (n_c, T, F)
+        coeffs = jnp.asarray(tables["coeffs"])  # (n_c, T, L)
+        consts = jnp.asarray(tables["consts"])  # (n_c, L)
+        adj_sel = jnp.asarray(tables["adj_sel"])  # (n_c,)
+        max_factors = ti.shape[2]
+
+        def per_term(cval, xs):
+            ti_t, coeff_t = xs  # (F,), (L,)
+            prod = jax.lax.dynamic_index_in_dim(tv_ext, ti_t[0], 0, keepdims=False)
+            for f in range(1, max_factors):
+                prod = ops.mul(
+                    prod, jax.lax.dynamic_index_in_dim(tv_ext, ti_t[f], 0, keepdims=False)
+                )
+            prod = ops.mul(prod, coeff_t)
+            return ops.add(cval, prod), None
+
+        def per_constraint(g_acc, xs):
+            ti_c, coeff_c, const_c, sel_c, alpha_c, beta_c = xs
+            cval = jnp.broadcast_to(const_c, (d_size, L))
+            cval, _ = jax.lax.scan(per_term, cval, (ti_c, coeff_c))
+            adjp = jax.lax.dynamic_index_in_dim(adj_stack, sel_c, 0, keepdims=False)
+            adj_factor = ops.add(
+                ops.mul(adjp, alpha_c), jnp.broadcast_to(beta_c, (d_size, L))
+            )
+            cval = ops.mul(cval, adj_factor)
+            return ops.add(g_acc, cval), None
+
+        zero = jnp.broadcast_to(ops.zero_m, (d_size, L))
+        batch_values, _ = jax.lax.scan(
+            per_constraint, zero, (ti, coeffs, consts, adj_sel, alphas, betas_eff)
+        )
+        return batch_values
 
     def _precompute_traced(self, density_roots, boundary_roots):
         ops = self.ops
@@ -260,6 +374,19 @@ class ALIInstance:
         g_values = jnp.broadcast_to(ops.zero_m, (d_size, L))
         ci = 0
         for key, batch in self.batches.items():
+            if len(batch) > self._SCAN_THRESHOLD:
+                batch_values = self._eval_batch_scanned(
+                    key,
+                    term_vals,
+                    c_alphas[ci : ci + len(batch)],
+                    c_betas[ci : ci + len(batch)],
+                    adj_pows,
+                    coset_values,
+                )
+                ci += len(batch)
+                batch_values = ops.mul(batch_values, divisors[key])
+                g_values = ops.add(g_values, batch_values)
+                continue
             batch_values = jnp.broadcast_to(ops.zero_m, (d_size, L))
             for c in batch:
                 alpha = c_alphas[ci]

@@ -34,7 +34,7 @@ from .air.constraint import (
     UnivariateTerm,
 )
 from .domain import Domain, next_power_of_two
-from .errors import SynthesisError, UnsatisfiedError
+from .errors import SynthesisError, TracingError, UnsatisfiedError
 from .field.field import Field
 from .field.limbs import LimbOps, ops_for
 from .ntt import intt
@@ -111,11 +111,22 @@ class ARPInstance:
         ops = ops_for(self.properties.field)
         return _witness_intt(ops, witness_device)
 
-    def encode_witness(self, witness: List[List[int]]) -> jnp.ndarray:
-        """Host witness columns (canonical ints) -> padded (R, T, L)."""
+    def encode_witness(self, witness) -> jnp.ndarray:
+        """Host witness columns -> padded (R, T, L) Montgomery device
+        array. Accepts List[List[int]] (canonical ints) or an
+        (R, rows, 4) uint64 canonical LE limb ndarray (the native
+        witness-generator format, utils/native.py) - the latter skips
+        per-element Python int packing entirely."""
         t_sup = next_power_of_two(self.properties.num_rows)
+        ops = ops_for(self.properties.field)
+        if isinstance(witness, np.ndarray) and witness.dtype == np.uint64:
+            r, rows, _ = witness.shape
+            u16 = witness.view("<u2").reshape(r, rows, 16)[..., : ops.n16]
+            padded = np.zeros((r, t_sup, ops.n16), dtype=np.uint32)
+            padded[:, :rows] = u16
+            return ops._encode_tail(jnp.asarray(padded))
         padded = [list(col) + [0] * (t_sup - len(col)) for col in witness]
-        return ops_for(self.properties.field).encode(padded)
+        return ops.encode(padded)
 
     # ---- satisfiability (reference verify_witness,
     #      src/arp/per_register/mod.rs:135-265) ----
@@ -129,6 +140,10 @@ class ARPInstance:
         vectorized on device over all rows of each constraint's density."""
         field = properties.field
         ops = ops_for(field)
+        if isinstance(witness, np.ndarray) and witness.dtype == np.uint64:
+            from .utils.native import u64_rows_to_ints
+
+            witness = [u64_rows_to_ints(col) for col in witness]
         num_rows = len(witness[0])
         w = ops.encode([list(c) for c in witness])  # (R, T, L)
 
@@ -147,6 +162,16 @@ class ARPInstance:
                 )
 
         for bc in properties.boundary_constraints:
+            # bounds are validated BEFORE indexing (the reference's
+            # TracingError cases, src/air/mod.rs:125-145)
+            if bc.register.index >= len(witness):
+                raise TracingError(
+                    f"boundary constraint register {bc.register.index} out of range"
+                )
+            if bc.at_row >= num_rows:
+                raise TracingError(
+                    f"boundary constraint row {bc.at_row} out of range"
+                )
             if bc.value is not None:
                 got = witness[bc.register.index][bc.at_row]
                 if got % field.p != bc.value % field.p:

@@ -81,6 +81,49 @@ class CubicVDF:
             return (a * c + r * b * d) % p, (a * d + b * c) % p
 
         num_values = self.num_operations + 1
+        witness, final_c0, final_c1 = self._witness(square, mul)
+
+        boundary = [
+            BoundaryConstraint(c0_reg, 0, self.start_c0),
+            BoundaryConstraint(c1_reg, 0, self.start_c1),
+            BoundaryConstraint(c0_reg, self.num_operations, final_c0),
+            BoundaryConstraint(c1_reg, self.num_operations, final_c1),
+        ]
+
+        props = InstanceProperties(
+            num_rows=num_values,
+            num_registers=4,
+            constraints=[c0_c, c1_c, c2_c, c3_c],
+            boundary_constraints=boundary,
+            field=field,
+        )
+        return witness, props
+
+    _NATIVE_MIN_OPS = 1 << 12
+
+    def _witness(self, square, mul):
+        """(witness, final_c0, final_c1); native C++ chain for large
+        instances (native/vdf_witness.cpp), Python otherwise."""
+        import os
+
+        import numpy as np
+
+        use_native = os.environ.get("HODOR_NATIVE_WITNESS", "auto")
+        if use_native != "0" and (
+            use_native == "1" or self.num_operations >= self._NATIVE_MIN_OPS
+        ):
+            from ..utils.native import cubic_vdf_witness_native, u64_rows_to_ints
+
+            res = cubic_vdf_witness_native(
+                self.field, self.start_c0, self.start_c1, self.num_operations
+            )
+            if res is not None:
+                c0_w, c1_w, sq0_w, sq1_w = res
+                (final_c0,) = u64_rows_to_ints(c0_w[-1:])
+                (final_c1,) = u64_rows_to_ints(c1_w[-1:])
+                return np.stack([c0_w, c1_w, sq0_w, sq1_w]), final_c0, final_c1
+
+        num_values = self.num_operations + 1
         c0_w = [0] * num_values
         c1_w = [0] * num_values
         sq0_w = [0] * num_values
@@ -94,19 +137,4 @@ class CubicVDF:
             c0_w[i + 1], c1_w[i + 1] = v0, v1
             s0, s1 = square(v0, v1)
             sq0_w[i + 1], sq1_w[i + 1] = s0, s1
-
-        boundary = [
-            BoundaryConstraint(c0_reg, 0, self.start_c0),
-            BoundaryConstraint(c1_reg, 0, self.start_c1),
-            BoundaryConstraint(c0_reg, self.num_operations, c0_w[-1]),
-            BoundaryConstraint(c1_reg, self.num_operations, c1_w[-1]),
-        ]
-
-        props = InstanceProperties(
-            num_rows=num_values,
-            num_registers=4,
-            constraints=[c0_c, c1_c, c2_c, c3_c],
-            boundary_constraints=boundary,
-            field=field,
-        )
-        return [c0_w, c1_w, sq0_w, sq1_w], props
+        return [c0_w, c1_w, sq0_w, sq1_w], c0_w[-1], c1_w[-1]

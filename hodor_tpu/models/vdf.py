@@ -60,6 +60,53 @@ class VDF:
         c1_constraint += c1_next
 
         num_values = self.num_operations + 1
+        witness, final_c0, final_c1 = self._witness()
+
+        boundary = [
+            BoundaryConstraint(c0_reg, 0, self.start_c0),
+            BoundaryConstraint(c1_reg, 0, self.start_c1),
+            BoundaryConstraint(c0_reg, self.num_operations, final_c0),
+            BoundaryConstraint(c1_reg, self.num_operations, final_c1),
+        ]
+
+        props = InstanceProperties(
+            num_rows=num_values,
+            num_registers=2,
+            constraints=[c0_constraint, c1_constraint],
+            boundary_constraints=boundary,
+            field=field,
+        )
+        return witness, props
+
+    # chains >= this many ops use the native C++ Montgomery generator
+    _NATIVE_MIN_OPS = 1 << 12
+
+    def _witness(self):
+        """Returns (witness, final_c0, final_c1). witness is either
+        List[List[int]] (Python chain) or an (2, N, 4) uint64 canonical
+        limb ndarray from the native generator (native/vdf_witness.cpp)
+        - both accepted by ARPInstance.encode_witness."""
+        import os
+
+        import numpy as np
+
+        field = self.field
+        p = field.p
+        non_residue = p - 1
+        use_native = os.environ.get("HODOR_NATIVE_WITNESS", "auto")
+        if use_native != "0" and (
+            use_native == "1" or self.num_operations >= self._NATIVE_MIN_OPS
+        ):
+            from ..utils.native import u64_rows_to_ints, vdf_witness_native
+
+            res = vdf_witness_native(field, self.start_c0, self.start_c1, self.num_operations)
+            if res is not None:
+                c0_w, c1_w = res
+                (final_c0,) = u64_rows_to_ints(c0_w[-1:])
+                (final_c1,) = u64_rows_to_ints(c1_w[-1:])
+                return np.stack([c0_w, c1_w]), final_c0, final_c1
+
+        num_values = self.num_operations + 1
         c0_w = [0] * num_values
         c1_w = [0] * num_values
         c0_w[0], c1_w[0] = self.start_c0, self.start_c1
@@ -70,19 +117,4 @@ class VDF:
                 2 * v0 * v1 % p,
             )
             c0_w[i + 1], c1_w[i + 1] = v0, v1
-
-        boundary = [
-            BoundaryConstraint(c0_reg, 0, self.start_c0),
-            BoundaryConstraint(c1_reg, 0, self.start_c1),
-            BoundaryConstraint(c0_reg, self.num_operations, c0_w[-1]),
-            BoundaryConstraint(c1_reg, self.num_operations, c1_w[-1]),
-        ]
-
-        props = InstanceProperties(
-            num_rows=num_values,
-            num_registers=2,
-            constraints=[c0_constraint, c1_constraint],
-            boundary_constraints=boundary,
-            field=field,
-        )
-        return [c0_w, c1_w], props
+        return [c0_w, c1_w], c0_w[-1], c1_w[-1]

@@ -12,6 +12,7 @@ user-facing algebra API with the reference's method surface.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Iterable, List, Union
 
 import jax
@@ -56,17 +57,27 @@ class Polynomial:
 
     @staticmethod
     def from_roots(field: Field, roots: List[int]) -> "Polynomial":
-        """Product tree prod(X - r_i) (src/polynomials/mod.rs:168-227),
-        built as a host reduction of value-form multiplications."""
+        """Product tree prod(X - r_i) (src/polynomials/mod.rs:168-227).
+
+        The reference builds the tree with one rayon task per subtree;
+        here each tree LEVEL is one batched device program: the K
+        degree-M factor polynomials multiply pairwise via batched
+        (NTT -> pointwise mul -> iNTT) over a (K, 2M, L) array, so the
+        whole level rides the batched NTT kernels. O(n log^2 n) total.
+        """
         ops = ops_for(field)
-        coeffs = [1]
-        for r in roots:
-            nxt = [0] * (len(coeffs) + 1)
-            for i, c in enumerate(coeffs):
-                nxt[i] = (nxt[i] - c * r) % field.p
-                nxt[i + 1] = (nxt[i + 1] + c) % field.p
-            coeffs = nxt
-        return Polynomial.from_coeffs(field, coeffs)
+        if not roots:
+            return Polynomial.from_coeffs(field, [1])
+        k = next_power_of_two(len(roots))
+        # leaves (k, 2, L): (X - r) for real roots, constant 1 as filler
+        leaf_ints = [[(-r) % field.p, 1] for r in roots] + [[1, 0]] * (
+            k - len(roots)
+        )
+        cur = ops.encode(leaf_ints)
+        while cur.shape[0] > 1:
+            cur = _product_tree_level(ops, cur)
+        out_len = next_power_of_two(len(roots) + 1)
+        return Polynomial(cur[0, :out_len], COEFFICIENTS, field)
 
     # ---- basic properties ----
 
@@ -180,6 +191,19 @@ class Polynomial:
         assert self.form == COEFFICIENTS
         out = evaluate_at(self.ops, self.data, self.ops.const(x % self.field.p))
         return int(self.ops.decode(out))
+
+
+@partial(jax.jit, static_argnums=0)
+def _product_tree_level(ops: LimbOps, polys):
+    """One product-tree level: (K, M, L) coefficient polys (degree < M)
+    -> (K/2, 2M, L) pairwise products, all batched through the NTT."""
+    k, m, L = polys.shape
+    padded = jnp.concatenate(
+        [polys, jnp.zeros((k, m, L), polys.dtype)], axis=1
+    )  # degree < 2M-1 fits the 2M-point domain
+    vals = ntt(ops, padded)
+    prod = ops.mul(vals[0::2], vals[1::2])
+    return intt(ops, prod)
 
 
 def _encode_padded(field: Field, data) -> jnp.ndarray:

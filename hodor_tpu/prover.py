@@ -59,6 +59,17 @@ class InstanceProof:
 
 
 class Prover:
+    @staticmethod
+    def from_config(properties: InstanceProperties, config) -> "Prover":
+        """Construct from a ProofSystemConfig (hodor_tpu/config.py) - the
+        runtime analog of the reference's generic parameters."""
+        return Prover(
+            properties,
+            lde_factor=config.lde_factor,
+            fri_final_degree_plus_one=config.fri_final_degree_plus_one,
+            mesh=config.mesh,
+        )
+
     def __init__(self, properties: InstanceProperties, lde_factor: int,
                  fri_final_degree_plus_one: int, mesh=None):
         self.field = properties.field
@@ -109,11 +120,20 @@ class Prover:
         ops = self.ops
         field = self.field
         transcript = Blake2sTranscript(field)
+        # exposed for Fiat-Shamir audits (tests/test_golden.py)
+        self.last_transcript = transcript
+        # structured stage timings (SURVEY §5 profiling facility); stage
+        # boundaries are host syncs so wall-time is honest per stage
+        from .profiling import StageTimer
+
+        timer = StageTimer()
+        self.last_timings = timer
 
         # 1+2. witness -> polys -> LDEs -> oracles (one device program)
-        w_dev = self.arp.encode_witness(witness)
-        witness_polys, f_ldes, f_trees, f_roots_dev = self._stage1_fn(w_dev)
-        f_roots = np.asarray(jax.device_get(f_roots_dev))  # SYNC: commit roots
+        with timer.stage("witness+f_ldes+f_oracles"):
+            w_dev = self.arp.encode_witness(witness)
+            witness_polys, f_ldes, f_trees, f_roots_dev = self._stage1_fn(w_dev)
+            f_roots = np.asarray(jax.device_get(f_roots_dev))  # SYNC: commit roots
         f_iop_roots = [digest_to_bytes(r) for r in f_roots]
         f_oracles = [
             MerkleTree(lh, list(lv), field, root_bytes=rb)
@@ -123,25 +143,29 @@ class Prover:
             transcript.commit_bytes(root)
 
         # 3+4. G composition + G LDE + oracle (src/prover/mod.rs:89-95)
-        g_poly = self.ali.calculate_g(transcript, witness_polys)  # (D, L)
-        g_lde_vals, g_tree, g_root_dev = self._stage_g_fn(g_poly)
-        g_iop_root = digest_to_bytes(jax.device_get(g_root_dev))  # SYNC
+        with timer.stage("g_composition+g_oracle"):
+            g_poly = self.ali.calculate_g(transcript, witness_polys)  # (D, L)
+            g_lde_vals, g_tree, g_root_dev = self._stage_g_fn(g_poly)
+            g_iop_root = digest_to_bytes(jax.device_get(g_root_dev))  # SYNC
         g_oracle = MerkleTree(g_tree[0], list(g_tree[1]), field, root_bytes=g_iop_root)
         transcript.commit_bytes(g_iop_root)
 
         # 5. DEEP (src/prover/mod.rs:99-106)
-        h1_lde, h2_lde, f_at_z_m, _g_at_z = self.ali.calculate_deep(
-            witness_polys, f_ldes, g_poly, g_lde_vals, transcript
-        )
+        with timer.stage("deep"):
+            h1_lde, h2_lde, f_at_z_m, _g_at_z = self.ali.calculate_deep(
+                witness_polys, f_ldes, g_poly, g_lde_vals, transcript
+            )
 
         # 6. FRI for h1 and h2 (src/prover/mod.rs:112-113); each is one
         # fused device program (fri/_fri_chain)
-        h1_proto = NaiveFriIop.proof_from_lde(
-            h1_lde, self.lde_factor, self.fri_final_degree_plus_one, field
-        )
-        h2_proto = NaiveFriIop.proof_from_lde(
-            h2_lde, self.lde_factor, self.fri_final_degree_plus_one, field
-        )
+        with timer.stage("fri_h1"):
+            h1_proto = NaiveFriIop.proof_from_lde(
+                h1_lde, self.lde_factor, self.fri_final_degree_plus_one, field
+            )
+        with timer.stage("fri_h2"):
+            h2_proto = NaiveFriIop.proof_from_lde(
+                h2_lde, self.lde_factor, self.fri_final_degree_plus_one, field
+            )
 
         # 7. commit final roots + coefficients (src/prover/mod.rs:118-127)
         transcript.commit_bytes(h1_proto.get_final_root())
@@ -162,8 +186,9 @@ class Prover:
         )
 
         # 9. FRI query paths (src/prover/mod.rs:142-143)
-        fri_proof_h1 = NaiveFriIop.prototype_into_proof(h1_proto, h1_lde, x_h1, field)
-        fri_proof_h2 = NaiveFriIop.prototype_into_proof(h2_proto, h2_lde, x_h2, field)
+        with timer.stage("queries"):
+            fri_proof_h1 = NaiveFriIop.prototype_into_proof(h1_proto, h1_lde, x_h1, field)
+            fri_proof_h2 = NaiveFriIop.prototype_into_proof(h2_proto, h2_lde, x_h2, field)
 
         # 10. f / g oracle queries, one fused gather (src/prover/mod.rs:146-151)
         chain_data = [

@@ -25,33 +25,45 @@ from .merkle.blake2s import KEY, PERSONAL
 
 
 class Blake2sTranscript:
+    """Rolling blake2s state via hashlib .copy() - each challenge costs
+    one state clone + finalize instead of re-hashing the whole
+    accumulated buffer (incremental updates hash the same byte stream,
+    so digests equal the reference's rolling blake2s_simd state)."""
+
     def __init__(self, field: Field):
         assert field.num_bits < 256
         self.field = field
-        self._buf = bytearray()
+        self._state = hashlib.blake2s(key=KEY, person=PERSONAL)
+        # every challenge drawn, in order - the Fiat-Shamir audit trail
+        # golden-vector tests freeze (tests/test_golden.py)
+        self.log: list = []
 
     def _finalize(self) -> bytes:
-        return hashlib.blake2s(bytes(self._buf), key=KEY, person=PERSONAL).digest()
+        return self._state.copy().digest()
 
     def commit_bytes(self, data: bytes) -> None:
-        self._buf.extend(data)
+        self._state.update(data)
 
     def commit_field_element(self, value: int) -> None:
-        self._buf.extend(self.field.repr_be(value % self.field.p))
+        self._state.update(self.field.repr_be(value % self.field.p))
 
     def get_challenge_bytes(self) -> bytes:
         d = self._finalize()
-        self._buf.extend(d)
+        self._state.update(d)
+        self.log.append(("bytes", d.hex()))
         return d
 
     def get_challenge(self) -> int:
         d = self._finalize()
-        self._buf.extend(d)
-        return self.field.from_be_with_shave(d)
+        self._state.update(d)
+        c = self.field.from_be_with_shave(d)
+        self.log.append(("field", c))
+        return c
 
     def clone(self) -> "Blake2sTranscript":
         t = Blake2sTranscript(self.field)
-        t._buf = bytearray(self._buf)
+        t._state = self._state.copy()
+        t.log = list(self.log)
         return t
 
 

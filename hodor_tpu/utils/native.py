@@ -59,6 +59,95 @@ def _lib() -> Optional[ctypes.CDLL]:
     return lib
 
 
+@lru_cache(maxsize=1)
+def _vdf_lib() -> Optional[ctypes.CDLL]:
+    """native/vdf_witness.cpp: 4x u64 Montgomery witness chains (the
+    host-side analog of ff_ce's derived arithmetic the reference uses
+    for witness generation, src/experiments/vdf.rs:143-150)."""
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "vdf_witness.cpp"))
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libhodor_vdf.so"))
+    if not os.path.exists(src):
+        return None
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                check=True,
+                capture_output=True,
+            )
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    u64p = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+    lib.hodor_vdf_witness.argtypes = [u64p, ctypes.c_uint64] + [u64p] * 4 + [
+        ctypes.c_long,
+    ] + [u64p] * 2
+    lib.hodor_cubic_vdf_witness.argtypes = [u64p, ctypes.c_uint64] + [u64p] * 4 + [
+        ctypes.c_long,
+    ] + [u64p] * 4
+    return lib
+
+
+def _field_mont_params(field):
+    """(p_limbs, inv, r2) for the native 4x u64 Montgomery core."""
+    p = field.p
+    if p % 2 == 0 or field.num_bits > 256:
+        return None
+    to4 = lambda v: np.array(
+        [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)], dtype=np.uint64
+    )
+    inv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    r2 = pow(1 << 256, 2, p)
+    return to4(p), inv, to4(r2), to4
+
+
+def vdf_witness_native(field, c0: int, c1: int, num_ops: int):
+    """Quadratic VDF chain via C++; returns (c0_w, c1_w) as
+    (num_ops+1, 4) uint64 canonical LE limb arrays, or None."""
+    lib = _vdf_lib()
+    params = _field_mont_params(field)
+    if lib is None or params is None:
+        return None
+    p_limbs, inv, r2, to4 = params
+    n = num_ops + 1
+    out0 = np.empty((n, 4), dtype=np.uint64)
+    out1 = np.empty((n, 4), dtype=np.uint64)
+    lib.hodor_vdf_witness(
+        p_limbs, inv, r2, to4((field.p - 1) % field.p), to4(c0 % field.p),
+        to4(c1 % field.p), num_ops, out0, out1,
+    )
+    return out0, out1
+
+
+def cubic_vdf_witness_native(field, c0: int, c1: int, num_ops: int):
+    """Cubic VDF chain via C++; returns (c0_w, c1_w, sq0_w, sq1_w) as
+    (num_ops+1, 4) uint64 canonical LE limb arrays, or None."""
+    lib = _vdf_lib()
+    params = _field_mont_params(field)
+    if lib is None or params is None:
+        return None
+    p_limbs, inv, r2, to4 = params
+    n = num_ops + 1
+    outs = [np.empty((n, 4), dtype=np.uint64) for _ in range(4)]
+    lib.hodor_cubic_vdf_witness(
+        p_limbs, inv, r2, to4((field.p - 1) % field.p), to4(c0 % field.p),
+        to4(c1 % field.p), num_ops, *outs,
+    )
+    return tuple(outs)
+
+
+def u64_rows_to_ints(rows: "np.ndarray") -> List[int]:
+    """(N, 4) uint64 LE limbs -> list of Python ints (used only for the
+    few boundary values; bulk data goes straight to device limbs)."""
+    return [
+        int(r[0]) | (int(r[1]) << 64) | (int(r[2]) << 128) | (int(r[3]) << 192)
+        for r in rows
+    ]
+
+
 def available() -> bool:
     return _lib() is not None
 

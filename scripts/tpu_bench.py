@@ -1,0 +1,176 @@
+"""TPU perf/验证 driver for round-2 NTT work. Each subcommand is one
+process so a hung remote Mosaic compile only kills that step (the shell
+driver wraps each in `timeout`).
+
+Subcommands:
+  expected   CPU backend: Pease NTT 2^12 ground truth -> /tmp/ntt_expected.npz
+  check      TPU: matmul NTT (pallas wide-reduce) + Pease (pallas v2 mul)
+             at 2^12 vs the CPU ground truth
+  ntt N      TPU: time matmul NTT at 2^N
+  pease N    TPU: time Pease NTT at 2^N
+  kernels    TPU: standalone pallas v2 mul / addsub / wide-reduce at 2^20
+  profile N  TPU: jax.profiler trace one matmul NTT, aggregate op durs
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_hodor_tpu")
+)
+
+import numpy as np
+
+EXPECTED = "/tmp/ntt_expected.npz"
+LOG_SMALL = 12
+
+
+def _rand_input(log_n, n16, num_bits, seed=0):
+    rng = np.random.default_rng(seed)
+    limbs = rng.integers(0, 1 << 16, size=(1 << log_n, n16), dtype=np.uint32)
+    top_bits = num_bits - 16 * (n16 - 1)
+    limbs[:, -1] &= (1 << max(top_bits - 1, 1)) - 1
+    return limbs
+
+
+def cmd_expected():
+    jax.config.update("jax_platforms", "cpu")
+    from hodor_tpu.field import F_STARK, ops_for
+    from hodor_tpu.ntt import ntt
+
+    ops = ops_for(F_STARK)
+    x = _rand_input(LOG_SMALL, ops.n16, F_STARK.num_bits)
+    out = np.asarray(jax.device_get(jax.jit(lambda a: ntt(ops, a))(x)))
+    np.savez(EXPECTED, x=x, out=out)
+    print(f"expected saved: {out.shape}")
+
+
+def cmd_check():
+    from hodor_tpu.field import F_STARK, ops_for
+    from hodor_tpu.ntt import ntt
+    from hodor_tpu.ntt.matmul import ntt_matmul
+
+    ops = ops_for(F_STARK)
+    d = np.load(EXPECTED)
+    x, exp = d["x"], d["out"]
+    print(f"backend: {jax.devices()[0]}")
+    for name, fn in [("matmul", ntt_matmul), ("pease", ntt)]:
+        t0 = time.time()
+        out = np.asarray(jax.device_get(jax.jit(lambda a, f=fn: f(ops, a))(x)))
+        ok = (out == exp).all()
+        print(f"{name} 2^{LOG_SMALL}: {'OK' if ok else 'MISMATCH'} ({time.time()-t0:.1f}s incl compile)")
+        if not ok:
+            bad = np.argwhere(out != exp)
+            print(f"  first mismatches: {bad[:5].tolist()}")
+
+
+def _time_ntt(log_n, kernel_name):
+    from hodor_tpu.field import F_STARK, ops_for
+    from hodor_tpu.ntt import ntt
+    from hodor_tpu.ntt.matmul import ntt_matmul
+
+    ops = ops_for(F_STARK)
+    fn = {"matmul": ntt_matmul, "pease": ntt}[kernel_name]
+    x = jax.device_put(_rand_input(log_n, ops.n16, F_STARK.num_bits))
+    jfn = jax.jit(lambda a: fn(ops, a))
+    t0 = time.time()
+    jfn(x).block_until_ready()
+    print(f"# compile+first {time.time()-t0:.1f}s")
+    reps = 5 if log_n <= 20 else 3
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        out = jfn(x)
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps
+    muls = (1 << log_n) // 2 * log_n
+    print(
+        f"{kernel_name} ntt 2^{log_n}: {dt*1e3:.2f} ms, {muls/dt:.3e} field-muls/s"
+    )
+
+
+def cmd_kernels():
+    import jax.numpy as jnp
+
+    from hodor_tpu.field import F_STARK, ops_for
+    from hodor_tpu.field.pallas_kernels import (
+        pallas_addsub,
+        pallas_mont_mul_v2,
+    )
+
+    ops = ops_for(F_STARK)
+    n = 1 << 20
+    a = jax.device_put(_rand_input(20, ops.n16, F_STARK.num_bits, seed=1))
+    b = jax.device_put(_rand_input(20, ops.n16, F_STARK.num_bits, seed=2))
+
+    for name, fn in [
+        ("mul_v2", lambda x, y: pallas_mont_mul_v2(F_STARK, x, y)),
+        ("add", lambda x, y: pallas_addsub(F_STARK, x, y, "add")),
+    ]:
+        jfn = jax.jit(fn)
+        t0 = time.time()
+        jfn(a, b).block_until_ready()
+        print(f"# {name} compile {time.time()-t0:.1f}s")
+        t0 = time.time()
+        out = None
+        for _ in range(20):
+            out = jfn(a, b)
+        out.block_until_ready()
+        dt = (time.time() - t0) / 20
+        print(f"{name} 2^20 elements: {dt*1e3:.3f} ms, {n/dt:.3e} field-ops/s")
+
+
+def cmd_profile(log_n):
+    import glob
+    import gzip
+    import json as js
+
+    from hodor_tpu.field import F_STARK, ops_for
+    from hodor_tpu.ntt.matmul import ntt_matmul
+
+    ops = ops_for(F_STARK)
+    x = jax.device_put(_rand_input(log_n, ops.n16, F_STARK.num_bits))
+    jfn = jax.jit(lambda a: ntt_matmul(ops, a))
+    jfn(x).block_until_ready()
+    tdir = "/tmp/hodor_trace"
+    jax.profiler.start_trace(tdir)
+    for _ in range(3):
+        out = jfn(x)
+    out.block_until_ready()
+    jax.profiler.stop_trace()
+    traces = sorted(glob.glob(tdir + "/**/*.trace.json.gz", recursive=True))
+    if not traces:
+        print("no trace found")
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        data = js.load(f)
+    durs = {}
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "X" and "dur" in ev:
+            name = ev.get("name", "?")
+            durs[name] = durs.get(name, 0) + ev["dur"]
+    total = sum(durs.values())
+    print(f"total traced {total/1e3:.2f} ms over 3 reps")
+    for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"  {d/1e3:9.3f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1]
+    if cmd == "expected":
+        cmd_expected()
+    elif cmd == "check":
+        cmd_check()
+    elif cmd == "ntt":
+        _time_ntt(int(sys.argv[2]), "matmul")
+    elif cmd == "pease":
+        _time_ntt(int(sys.argv[2]), "pease")
+    elif cmd == "kernels":
+        cmd_kernels()
+    elif cmd == "profile":
+        cmd_profile(int(sys.argv[2]))
+    else:
+        raise SystemExit(f"unknown cmd {cmd}")

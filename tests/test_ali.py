@@ -1,0 +1,91 @@
+"""ALI constraint-evaluation path equivalence.
+
+The scanned (index-table + lax.scan) evaluation used for large
+constraint batches must agree bit-exactly with the trace-time-unrolled
+path used for small AIRs (both implement
+src/ali/per_register/mod.rs:425-476 semantics).
+"""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from hodor_tpu.air.constraint import (
+    BoundaryConstraint,
+    Constraint,
+    DenseConstraint,
+    PolyvariateTerm,
+    Register,
+    UnivariateTerm,
+)
+from hodor_tpu.ali import ALIInstance
+from hodor_tpu.arp import ARPInstance, InstanceProperties
+from hodor_tpu.field import F_STARK, ops_for
+
+
+def _synthetic_props(field, num_constraints=12, num_registers=3, t_rows=16):
+    random.seed(41)
+    constraints = []
+    for i in range(num_constraints):
+        c = Constraint(density=DenseConstraint(0, 1))
+        c += random.randrange(field.p)  # constant term
+        r0 = Register.Register(i % num_registers)
+        r1 = Register.Register((i + 1) % num_registers)
+        u0 = UnivariateTerm.from_register(r0).scaled(random.randrange(1, field.p)).pow(1 + (i % 2))
+        c += u0
+        if i % 3 == 0:
+            # polyvariate product term crossing registers and steps
+            pv = PolyvariateTerm.from_scaled_term(
+                random.randrange(1, field.p), UnivariateTerm.from_register(r1)
+            )
+            pv = pv.mul_by_term(
+                UnivariateTerm.from_register(r0).with_step_difference(1)
+            )
+            c += pv
+        else:
+            c -= UnivariateTerm.from_register(r1).with_step_difference(1)
+        constraints.append(c)
+    boundary = [BoundaryConstraint(Register.Register(0), 0, 7)]
+    return InstanceProperties(
+        num_rows=t_rows,
+        num_registers=num_registers,
+        constraints=constraints,
+        boundary_constraints=boundary,
+        field=field,
+    )
+
+
+def test_scanned_g_matches_unrolled(monkeypatch):
+    field = F_STARK
+    ops = ops_for(field)
+    props = _synthetic_props(field)
+    t_rows = props.num_rows
+
+    random.seed(43)
+    witness = ops.encode(
+        [[random.randrange(field.p) for _ in range(t_rows)] for _ in range(3)]
+    )
+
+    def g_for(threshold):
+        monkeypatch.setattr(ALIInstance, "_SCAN_THRESHOLD", threshold)
+        arp = ARPInstance.from_instance(props.clone())
+        ali = ALIInstance(arp)
+        n_c = len(ali.properties.constraints)
+        n_b = len(ali.properties.boundary_constraints)
+        c_alphas = ops.encode([random.Random(1).randrange(1, field.p) + i for i in range(n_c)])
+        c_betas = ops.encode([random.Random(2).randrange(1, field.p) + i for i in range(n_c)])
+        b_alphas = ops.encode([5] * n_b)
+        b_betas = ops.encode([9] * n_b)
+        coeffs = arp.calculate_witness_polys(witness)
+        return np.asarray(
+            jax.jit(ali._calculate_g_traced)(
+                coeffs, c_alphas, c_betas, b_alphas, b_betas,
+                ali.constraint_divisors, ali.boundary_divisors, ali.coset_values,
+            )
+        )
+
+    unrolled = g_for(10_000)
+    scanned = g_for(0)
+    assert (unrolled == scanned).all()

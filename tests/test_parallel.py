@@ -56,6 +56,27 @@ def test_four_step_ntt_matches_single(mesh8):
     assert list(single) == list(stepped)
 
 
+def test_mesh_prove_byte_identical(mesh8):
+    """A full prove on the 8-device mesh must serialize to the SAME
+    bytes as the single-device proof (sharding is a layout choice, not a
+    protocol change). VERDICT round-1 item 3."""
+    from hodor_tpu.models import VDF
+    from hodor_tpu.proof_io import serialize_proof
+    from hodor_tpu.prover import Prover
+    from hodor_tpu.verifier import Verifier
+
+    field = F_STARK
+    witness, props = VDF(field, 1, 2, 31).into_arp()  # T = 32 rows
+    single = Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=1)
+    proof_single = single.prove(witness)
+    meshed = Prover(
+        props.clone(), lde_factor=16, fri_final_degree_plus_one=1, mesh=mesh8
+    )
+    proof_mesh = meshed.prove(witness)
+    assert serialize_proof(proof_mesh, field) == serialize_proof(proof_single, field)
+    assert Verifier(props, lde_factor=16).verify(proof_mesh)
+
+
 def test_dryrun_multichip_entry():
     import sys
 
