@@ -281,8 +281,9 @@ class ALIInstance:
         z_vals = ops.sub(xt, jnp.broadcast_to(ops.one_m, xt.shape))
 
         divisors = {}
+        z_inv = ops.batch_inverse(z_vals) if density_roots else None
         for key, roots in density_roots.items():
-            inv = ops.batch_inverse(z_vals)
+            inv = z_inv
             nroots = roots.shape[0]
             for i in range(nroots):
                 inv = ops.mul(inv, ops.sub(coset, roots[i]))

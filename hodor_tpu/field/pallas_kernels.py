@@ -488,6 +488,119 @@ def wide_reduce_ok(total: int) -> bool:
     return total % (ROWS * LANES) == 0 and total >= ROWS * LANES
 
 
+# ----------------------------------------------------------- blake2s
+# The jnp compress (merkle/blake2s.py) runs its 10-round fori_loop as 10
+# XLA loop iterations whose 16-word state round-trips HBM each round
+# (~2KB of traffic per hash). This kernel keeps the whole state in
+# vector registers: one HBM read of the message block, one write of the
+# digest. SIGMA lives in SMEM so the in-kernel round loop stays ~130
+# Mosaic ops (the fully unrolled form is ~1300 - the size that broke
+# the remote Mosaic compile budget for the v1 mul kernel).
+
+_B2S_IV = (
+    0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+    0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19,
+)
+
+
+def _blake2s_kernel(mid, t_total, m_ref, sigma_ref, o_ref):
+    """m_ref (16, R, L) u32 message words; sigma_ref (10, 16) int32 in
+    SMEM; o_ref (8, R, L) digests. mid: post-key midstate (8 ints);
+    t_total: final byte counter (always < 2^32 here; final=True)."""
+    R, L = m_ref.shape[1], m_ref.shape[2]
+
+    def mk(c):
+        return jnp.full((R, L), c, jnp.uint32)
+
+    def rotr(x, r):
+        return (x >> r) | (x << (32 - r))
+
+    v_init = [mk(mid[i]) for i in range(8)] + [mk(_B2S_IV[i]) for i in range(8)]
+    v_init[12] = v_init[12] ^ jnp.uint32(t_total & 0xFFFFFFFF)
+    v_init[14] = v_init[14] ^ jnp.uint32(0xFFFFFFFF)  # final block flag
+
+    def round_body(r, v):
+        v = list(v)
+        mm = [m_ref[sigma_ref[r, i]] for i in range(16)]
+
+        def g(a, b, c, d, x, y):
+            v[a] = v[a] + v[b] + x
+            v[d] = rotr(v[d] ^ v[a], 16)
+            v[c] = v[c] + v[d]
+            v[b] = rotr(v[b] ^ v[c], 12)
+            v[a] = v[a] + v[b] + y
+            v[d] = rotr(v[d] ^ v[a], 8)
+            v[c] = v[c] + v[d]
+            v[b] = rotr(v[b] ^ v[c], 7)
+
+        g(0, 4, 8, 12, mm[0], mm[1])
+        g(1, 5, 9, 13, mm[2], mm[3])
+        g(2, 6, 10, 14, mm[4], mm[5])
+        g(3, 7, 11, 15, mm[6], mm[7])
+        g(0, 5, 10, 15, mm[8], mm[9])
+        g(1, 6, 11, 12, mm[10], mm[11])
+        g(2, 7, 8, 13, mm[12], mm[13])
+        g(3, 4, 9, 14, mm[14], mm[15])
+        return tuple(v)
+
+    v = jax.lax.fori_loop(0, 10, round_body, tuple(v_init))
+    out = [jnp.uint32(mid[i]) ^ v[i] ^ v[i + 8] for i in range(8)]
+    o_ref[...] = jnp.stack(out, axis=0)
+
+
+@lru_cache(maxsize=None)
+def _blake2s_call(mid: tuple, t_total: int, rows: int, interpret: bool):
+    kern = partial(_blake2s_kernel, mid, t_total)
+    sigma = np.array(
+        [
+            [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+            [14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3],
+            [11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4],
+            [7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8],
+            [9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13],
+            [2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9],
+            [12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11],
+            [13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10],
+            [6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5],
+            [10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0],
+        ],
+        dtype=np.int32,
+    )
+
+    def call(m3):
+        # m3: (16, M, LANES) u32
+        m = m3.shape[1]
+        grid = (m // rows,)
+        mspec = pl.BlockSpec((16, rows, LANES), lambda i: (0, i, 0))
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        ospec = pl.BlockSpec((8, rows, LANES), lambda i: (0, i, 0))
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((8,) + m3.shape[1:], jnp.uint32),
+            grid=grid,
+            in_specs=[mspec, sspec],
+            out_specs=ospec,
+            interpret=interpret,
+        )(m3, jnp.asarray(sigma))
+
+    return call
+
+
+def pallas_blake2s(m_words, message_bytes: int, mid: tuple, interpret: bool = False):
+    """Keyed-midstate Blake2s of (..., 16)-word single blocks via one
+    fused kernel. m_words: (..., 16) uint32; total element count must be
+    a multiple of ROWS*LANES. Returns (..., 8) uint32 digests."""
+    shape = m_words.shape
+    total = int(np.prod(shape[:-1]))
+    assert total % (ROWS * LANES) == 0
+    m3 = jnp.moveaxis(m_words.reshape(total, 16), 1, 0).reshape(
+        16, total // LANES, LANES
+    )
+    out = _blake2s_call(mid, 64 + message_bytes, ROWS, interpret)(m3)
+    out = jnp.moveaxis(out.reshape(8, total), 0, 1)
+    return out.reshape(shape[:-1] + (8,))
+
+
 # ------------------------------------------------------- add / sub / neg
 
 def _addsub_kernel(n, p_list, mode, a_ref, b_ref, o_ref):

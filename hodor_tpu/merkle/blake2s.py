@@ -135,9 +135,34 @@ def keyed_midstate(key: bytes = KEY, personal: bytes = PERSONAL) -> np.ndarray:
     return np.asarray(compress(h0, key_block, t=64, final=False))
 
 
+# test hook: None = auto (real TPU only); "interpret" forces the Pallas
+# blake2s kernel in interpret mode so CPU tests can cover it
+_FORCE_PALLAS = None
+
+
 def hash_block(m_words, message_bytes: int):
     """Keyed Blake2s of a single <=64-byte (padded) block, vectorized.
-    m_words: (..., 16) uint32 LE words. Returns digests (..., 8) uint32."""
+    m_words: (..., 16) uint32 LE words. Returns digests (..., 8) uint32.
+
+    On TPU, large batches run in ONE fused Pallas kernel
+    (field/pallas_kernels.pallas_blake2s: state in registers, one HBM
+    read + one write per hash) instead of the 10-iteration XLA fori_loop
+    whose state round-trips HBM every round."""
+    from ..field.limbs import _pallas_enabled
+
+    total = 1
+    for s in m_words.shape[:-1]:
+        total *= int(s)
+    use_pallas = _FORCE_PALLAS == "interpret" or (
+        _FORCE_PALLAS is None and _pallas_enabled()
+    )
+    if use_pallas and total % 4096 == 0 and total > 0:
+        from ..field.pallas_kernels import pallas_blake2s
+
+        mid = tuple(int(v) for v in keyed_midstate())
+        return pallas_blake2s(
+            m_words, message_bytes, mid, interpret=_FORCE_PALLAS == "interpret"
+        )
     mid = jnp.asarray(keyed_midstate())
     h = jnp.broadcast_to(mid, m_words.shape[:-1] + (8,))
     return compress(h, m_words, t=64 + message_bytes, final=True)

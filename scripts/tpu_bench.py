@@ -158,6 +158,18 @@ def cmd_profile(log_n):
         print(f"  {d/1e3:9.3f} ms  {name[:110]}")
 
 
+def cmd_all():
+    """One process, everything: correctness check, kernel timings, NTT
+    sweep, profile - amortizes the (slow, flaky) axon backend init."""
+    t0 = time.time()
+    print(f"backend: {jax.devices()[0]} (init {time.time()-t0:.1f}s)", flush=True)
+    cmd_check()
+    cmd_kernels()
+    for log_n in (16, 18, 20):
+        _time_ntt(log_n, "matmul")
+    cmd_profile(16)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1]
     if cmd == "expected":
@@ -172,5 +184,7 @@ if __name__ == "__main__":
         cmd_kernels()
     elif cmd == "profile":
         cmd_profile(int(sys.argv[2]))
+    elif cmd == "all":
+        cmd_all()
     else:
         raise SystemExit(f"unknown cmd {cmd}")

@@ -101,3 +101,35 @@ def test_pallas_addsub_matches_jnp(field, mode):
     got = pallas_addsub(field, a, b, mode, interpret=True)
     ref = ops.jadd(a, b) if mode == "add" else ops.jsub(a, b)
     assert (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_pallas_blake2s_matches_jnp():
+    """The fused blake2s kernel (interpret mode) must equal the jnp
+    fori_loop compress for both leaf (32B) and node (64B) blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    import hodor_tpu.merkle.blake2s as b2
+
+    rng = np.random.default_rng(41)
+    n = 4096
+    words = jnp.asarray(rng.integers(0, 1 << 32, size=(n, 16), dtype=np.uint64).astype(np.uint32))
+    leaf_words = words.at[:, 8:].set(0)
+    old = b2._FORCE_PALLAS
+    try:
+        b2._FORCE_PALLAS = False
+        ref_leaf = np.asarray(b2.hash_block(leaf_words, 32))
+        ref_node = np.asarray(b2.hash_block(words, 64))
+        b2._FORCE_PALLAS = "interpret"
+        got_leaf = np.asarray(b2.hash_block(leaf_words, 32))
+        got_node = np.asarray(b2.hash_block(words, 64))
+    finally:
+        b2._FORCE_PALLAS = old
+    assert (ref_leaf == got_leaf).all()
+    assert (ref_node == got_node).all()
+    # and against hashlib for one element
+    import hashlib
+
+    raw = np.asarray(leaf_words[0], dtype="<u4").tobytes()[:32]
+    expect = hashlib.blake2s(raw, key=b2.KEY, person=b2.PERSONAL).digest()
+    assert b2.digest_to_bytes(got_leaf[0]) == expect
