@@ -27,7 +27,10 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_hodor_tpu"))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("HODOR_BENCH_CACHE", os.path.expanduser("~/.cache/jax_hodor_tpu")),
+)
 
 import numpy as np
 
@@ -51,7 +54,7 @@ def bench_prove():
     """
     import time
 
-    from hodor_tpu.models import VDF
+    from hodor_tpu.models import VDF, CubicVDF
     from hodor_tpu.prover import Prover
 
     log_rows = int(os.environ.get("BENCH_LOG_ROWS", "14"))
@@ -59,7 +62,12 @@ def bench_prove():
     t_rows = 1 << log_rows
     field = F_STARK
     t0 = time.time()
-    witness, props = VDF(field, 1, 2, t_rows - 1).into_arp()
+    # BENCH_WORKLOAD=cubic selects the reference's run_on_stable.sh
+    # headline (cubic VDF, 4 registers / 4 constraints,
+    # src/experiments/cubic_vdf.rs:149+); default is the quadratic VDF
+    workload = os.environ.get("BENCH_WORKLOAD", "quadratic")
+    model_cls = CubicVDF if workload == "cubic" else VDF
+    witness, props = model_cls(field, 1, 2, t_rows - 1).into_arp()
     print(f"# witness gen {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     prover = Prover(props.clone(), lde_factor=lde_factor, fri_final_degree_plus_one=1)
@@ -78,7 +86,7 @@ def bench_prove():
     print(
         json.dumps(
             {
-                "metric": f"vdf_2^{log_rows}_rows_prove_wall_s",
+                "metric": f"{workload}_vdf_2^{log_rows}_rows_prove_wall_s",
                 "value": warm,
                 "unit": "s",
                 "vs_baseline": est_ref / warm,

@@ -345,6 +345,14 @@ class NaiveFriIop:
         if len(proof.queries) % degree != 0:
             raise InvalidValueError("invalid number of queries")
 
+        def horner(x):
+            acc, power = 0, 1
+            for c in proof.final_coefficients:
+                acc = (acc + power * c) % p
+                power = power * x % p
+            return acc
+
+        last_round = len(proof.roots) - 1
         for round_idx, root in enumerate(proof.roots):
             qs = proof.queries[round_idx * degree : (round_idx + 1) * degree]
             coset = coset_for_natural_index_and_size(domain_idx, domain_size)
@@ -364,14 +372,32 @@ class NaiveFriIop:
                 if not verify_path(root, q.value, q.path, q.tree_index, field):
                     return False
 
-            challenge = field.from_be_with_shave(root)
-            f_at_omega = qs[0].value
             if expected is not None:
                 if domain_idx not in coset:
                     return False
                 matching = [q for q in qs if q.natural_index == domain_idx]
                 if len(matching) != 1 or matching[0].value != expected:
                     return False
+
+            if round_idx == last_round:
+                # The last committed vector IS the claimed low-degree
+                # polynomial: check every queried point directly against
+                # the committed coefficients. (The reference's query
+                # verifier instead folds once more and compares the fold
+                # output to the coefficients - correct only for
+                # output degree 1, where a constant is a fixed point of
+                # folding; its prototype verifier src/fri/verifier.rs:10-129
+                # does the num_steps-fold form generalized here. For the
+                # reference's only exercised configuration, output=1, this
+                # check is strictly stronger: both coset values must equal
+                # the constant, not just their fold combination.)
+                for c, q in zip(coset, qs):
+                    if q.value != horner(field.pow(omega, c)):
+                        return False
+                return True
+
+            challenge = field.from_be_with_shave(root)
+            f_at_omega = qs[0].value
             f_at_minus_omega = qs[1].value
             divisor = field.pow(omega_inv, coset[0])
             v_even = (f_at_omega + f_at_minus_omega) % p
@@ -382,13 +408,7 @@ class NaiveFriIop:
             omega = field.mul(omega, omega)
             omega_inv = field.mul(omega_inv, omega_inv)
 
-        # final Horner check against the committed coefficients
-        point = field.pow(omega, domain_idx)
-        acc, power = 0, 1
-        for c in proof.final_coefficients:
-            acc = (acc + power * c) % p
-            power = power * point % p
-        return acc == expected
+        raise InvalidValueError("no FRI rounds present")
 
     @staticmethod
     def verify_prototype(prototype: FRIProofPrototype, leaf_values, natural_element_index: int,

@@ -58,3 +58,40 @@ def test_fri_query_proof_round_trip_and_rejection():
     # tampered final coefficient fails
     proof.final_coefficients[0] = (proof.final_coefficients[0] + 1) % field.p
     assert not NaiveFriIop.verify_proof(proof, idx, expected, field)
+
+
+def test_fri_higher_output_degree():
+    """output_coeffs_at_degree_plus_one > 1: the ladder stops early and
+    commits 4 final coefficients (reference supports any power of two,
+    src/fri/fri_on_values.rs:27-37)."""
+    field = F257
+    ops = ops_for(field)
+    lde_values = _make_lde(field, 3, 8, seed=44)
+    by_vals = NaiveFriIop.proof_from_lde_by_values(lde_values, 8, 4, field)
+    by_coeffs = NaiveFriIop.proof_from_lde_through_coefficients(lde_values, 8, 4, field)
+    assert len(by_vals.final_coefficients) == 4
+    assert by_vals.challenges == by_coeffs.challenges
+    assert by_vals.get_roots() == by_coeffs.get_roots()
+    assert by_vals.final_coefficients == by_coeffs.final_coefficients
+    idx = 17
+    proof = NaiveFriIop.prototype_into_proof(by_vals, lde_values, idx, field)
+    expected = int(ops.decode(lde_values[idx]))
+    assert NaiveFriIop.verify_proof(proof, idx, expected, field)
+    assert not NaiveFriIop.verify_proof(proof, idx, (expected + 1) % field.p, field)
+
+
+def test_prove_with_higher_fri_output_degree():
+    """Full pipeline with fri_final_degree_plus_one=4."""
+    from hodor_tpu.air import Fibonacci, TestTraceSystem
+    from hodor_tpu.prover import Prover
+    from hodor_tpu.verifier import Verifier
+
+    fib = Fibonacci(F257, final_b=5, at_step=3)
+    tracer = TestTraceSystem(F257)
+    fib.trace(tracer)
+    tracer.calculate_witness(1, 1, 3)
+    witness, props = tracer.into_arp()
+    prover = Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=4)
+    proof = prover.prove(witness)
+    assert len(proof.fri_proof_h1.final_coefficients) == 4
+    assert Verifier(props, lde_factor=16).verify(proof)

@@ -62,3 +62,25 @@ def test_distribute_powers():
     vals = [1] * 8
     p = Polynomial.from_coeffs(F257, vals)
     assert p.distribute_powers(3).as_ints() == [pow(3, i, 257) for i in range(8)]
+
+
+def test_from_roots_product_tree_large():
+    """Device product tree at depth (120 roots, F_STARK): evaluates to
+    zero at every root and matches a scalar Horner elsewhere."""
+    import random
+
+    from hodor_tpu.field import F_STARK
+
+    random.seed(71)
+    p = F_STARK.p
+    roots = [random.randrange(p) for _ in range(120)]
+    poly = Polynomial.from_roots(F_STARK, roots)
+    assert poly.size == 128  # next_power_of_two(121)
+    for r in random.sample(roots, 5):
+        assert poly.evaluate_at(r) == 0
+    # spot-check a non-root against direct product evaluation
+    x = 123456789
+    expect = 1
+    for r in roots:
+        expect = expect * (x - r) % p
+    assert poly.evaluate_at(x) == expect
