@@ -488,6 +488,197 @@ def wide_reduce_ok(total: int) -> bool:
     return total % (ROWS * LANES) == 0 and total >= ROWS * LANES
 
 
+# ----------------------------------------------------------- FRI fold
+# One FRI fold round (fri/fri.py _fold_round_body) is algebraically
+#   out = ((lo + hi) + (lo - hi) * w * c) / 2
+# which the jnp path runs as 5 separate kernels (add, sub, 3 muls),
+# each round-tripping HBM. This kernel computes the equivalent
+#   out = mont(mont(lo - hi, w), c/2) + mont(lo + hi, 1/2)
+# in ONE pass (identical canonical limbs: Montgomery ops are exact mod p
+# and every intermediate is reduced below p). The three Montgomery
+# multiplies reuse the v2 kernel's fori_loop phase structure so the
+# Mosaic op count stays ~600, well under the ~1300 that broke the
+# remote compile budget for the fully unrolled v1 kernel.
+
+
+def _mont_mul_phases(n, a_ref, b_arr, o_ref, acc_ref, macc_ref, p_arr, pinv_arr, zeros_block):
+    """In-kernel Montgomery multiply o = a * b * R^-1 mod p.
+    a_ref: (n, R, L) ref (dynamically indexable); b_arr: (n, R, L) or
+    (n, 1, L) array value; o_ref: (n, R, L) ref; acc/macc: (2n+1, R, L)
+    scratch refs; p/pinv: (n, 1, L) arrays."""
+    acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.uint32)
+    macc_ref[...] = jnp.zeros(macc_ref.shape, jnp.uint32)
+
+    def p1(i, _):
+        xi = a_ref[i]
+        prod = xi[None, :, :] * b_arr
+        acc_ref[pl.ds(i, n)] += prod & MASK16
+        acc_ref[pl.ds(i + 1, n)] += prod >> 16
+        return 0
+
+    jax.lax.fori_loop(0, n, p1, 0)
+
+    def p2(i, _):
+        ti = acc_ref[i]
+        lo16 = ti & MASK16
+        hi6 = ti >> 16
+        pr = lo16[None, :, :] * pinv_arr
+        macc_ref[pl.ds(i, n)] += pr & MASK16
+        macc_ref[pl.ds(i + 1, n)] += (pr >> 16) + hi6[None, :, :] * pinv_arr
+        return 0
+
+    jax.lax.fori_loop(0, n, p2, 0)
+
+    def mchain(k, carry):
+        t = macc_ref[k] + carry
+        macc_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, n, mchain, zeros_block)
+
+    def p3(i, _):
+        mi = macc_ref[i]
+        pr = mi[None, :, :] * p_arr
+        acc_ref[pl.ds(i, n)] += pr & MASK16
+        acc_ref[pl.ds(i + 1, n)] += pr >> 16
+        return 0
+
+    jax.lax.fori_loop(0, n, p3, 0)
+
+    def uchain(k, carry):
+        t = acc_ref[k] + carry
+        acc_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, 2 * n, uchain, zeros_block)
+
+    u = [acc_ref[n + k] for k in range(n)]
+    borrow = None
+    diff = []
+    p_list = [p_arr[k, 0] for k in range(n)]
+    for k in range(n):
+        t = u[k] + 0x10000 - p_list[k] - (borrow if borrow is not None else 0)
+        diff.append(t & MASK16)
+        borrow = 1 - (t >> 16)
+    ge = borrow == 0
+    o_ref[...] = jnp.stack(
+        [jnp.where(ge, diff[k], u[k]) for k in range(n)], axis=0
+    )
+
+
+def _fri_fold_kernel(n, lo_ref, hi_ref, w_ref, cs_ref, inv2_ref, p_ref, pinv_ref,
+                     o_ref, s_ref, t_ref, acc_ref, macc_ref):
+    """lo/hi/w: (n, R, L); cs (challenge*inv2) / inv2 / p / pinv:
+    (n, 1, L); out (n, R, L) = mont(mont(lo-hi, w), cs) + mont(lo+hi, inv2)."""
+    R, L = lo_ref.shape[1], lo_ref.shape[2]
+    zeros_block = jnp.zeros((R, L), jnp.uint32)
+    p_arr = p_ref[:]
+    pinv_arr = pinv_ref[:]
+    p_list = [p_arr[k, 0] for k in range(n)]
+
+    def mod_addsub(a_planes, b_planes, mode):
+        if mode == "add":
+            carry = None
+            s = []
+            for k in range(n):
+                t = a_planes[k] + b_planes[k] + (carry if carry is not None else 0)
+                s.append(t & MASK16)
+                carry = t >> 16
+            borrow = None
+            diff = []
+            for k in range(n):
+                t = s[k] + 0x10000 - p_list[k] - (borrow if borrow is not None else 0)
+                diff.append(t & MASK16)
+                borrow = 1 - (t >> 16)
+            ge = (borrow == 0) | (carry > 0)
+            return [jnp.where(ge, diff[k], s[k]) for k in range(n)]
+        borrow = None
+        d = []
+        for k in range(n):
+            t = a_planes[k] + 0x10000 - b_planes[k] - (borrow if borrow is not None else 0)
+            d.append(t & MASK16)
+            borrow = 1 - (t >> 16)
+        carry = None
+        fixed = []
+        for k in range(n):
+            t = d[k] + p_list[k] + (carry if carry is not None else 0)
+            fixed.append(t & MASK16)
+            carry = t >> 16
+        neg = borrow == 1
+        return [jnp.where(neg, fixed[k], d[k]) for k in range(n)]
+
+    lo_p = [lo_ref[k] for k in range(n)]
+    hi_p = [hi_ref[k] for k in range(n)]
+    # s = lo - hi; t = mont(s, w); t = mont(t, c*inv2)
+    s_ref[...] = jnp.stack(mod_addsub(lo_p, hi_p, "sub"), axis=0)
+    _mont_mul_phases(n, s_ref, w_ref[:], t_ref, acc_ref, macc_ref, p_arr, pinv_arr, zeros_block)
+    _mont_mul_phases(n, t_ref, cs_ref[:], s_ref, acc_ref, macc_ref, p_arr, pinv_arr, zeros_block)
+    # d = lo + hi; d = mont(d, inv2)
+    o_ref[...] = jnp.stack(mod_addsub(lo_p, hi_p, "add"), axis=0)
+    _mont_mul_phases(n, o_ref, inv2_ref[:], t_ref, acc_ref, macc_ref, p_arr, pinv_arr, zeros_block)
+    # out = s + t
+    s_p = [s_ref[k] for k in range(n)]
+    t_p = [t_ref[k] for k in range(n)]
+    o_ref[...] = jnp.stack(mod_addsub(s_p, t_p, "add"), axis=0)
+
+
+@lru_cache(maxsize=None)
+def _fri_fold_call(field: Field, rows: int, interpret: bool):
+    n = field.n16
+    p_list = tuple(int(v) for v in int_to_limbs(field.p, n))
+    pinv_list = tuple(int(v) for v in int_to_limbs(field.p_inv_neg, n))
+    kern = partial(_fri_fold_kernel, n)
+    p_arr = np.broadcast_to(
+        np.asarray(p_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+    pinv_arr = np.broadcast_to(
+        np.asarray(pinv_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+
+    def call(lo3, hi3, w3, cs3, inv23):
+        m = lo3.shape[1]
+        grid = (m // rows,)
+        spec = pl.BlockSpec((n, rows, LANES), lambda i: (0, i, 0))
+        cspec = pl.BlockSpec((n, 1, LANES), lambda i: (0, 0, 0))
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(lo3.shape, jnp.uint32),
+            grid=grid,
+            in_specs=[spec, spec, spec, cspec, cspec, cspec, cspec],
+            out_specs=spec,
+            scratch_shapes=[
+                pltpu.VMEM((n, rows, LANES), jnp.uint32),
+                pltpu.VMEM((n, rows, LANES), jnp.uint32),
+                pltpu.VMEM((2 * n + 1, rows, LANES), jnp.uint32),
+                pltpu.VMEM((2 * n + 1, rows, LANES), jnp.uint32),
+            ],
+            interpret=interpret,
+        )(lo3, hi3, w3, cs3, inv23, jnp.asarray(p_arr), jnp.asarray(pinv_arr))
+
+    return call
+
+
+def pallas_fri_fold(field: Field, lo, hi, w, c_scaled, inv2, interpret: bool = False):
+    """Fused FRI fold: ((lo+hi) + (lo-hi)*w*c)/2 with c_scaled = c/2 and
+    inv2 = 1/2 (both (L,) Montgomery scalars). lo/hi/w: (half, L)
+    Montgomery arrays, half*... a multiple of ROWS*LANES."""
+    n = field.n16
+    shape = lo.shape
+    total = int(np.prod(shape[:-1]))
+    assert total % (ROWS * LANES) == 0
+
+    def to3(x):
+        return jnp.moveaxis(x.reshape(total, n), 1, 0).reshape(n, total // LANES, LANES)
+
+    def bc(x):
+        return jnp.broadcast_to(x.reshape(n, 1, 1), (n, 1, LANES))
+
+    out = _fri_fold_call(field, ROWS, interpret)(
+        to3(lo), to3(hi), to3(w), bc(c_scaled), bc(inv2)
+    )
+    return jnp.moveaxis(out.reshape(n, total), 0, 1).reshape(shape)
+
+
 # ----------------------------------------------------------- blake2s
 # The jnp compress (merkle/blake2s.py) runs its 10-round fori_loop as 10
 # XLA loop iterations whose 16-word state round-trips HBM each round

@@ -74,13 +74,38 @@ class FRIProof:
     lde_factor: int
 
 
+# test hook: None = auto (real TPU only); "interpret" forces the fused
+# Pallas fold kernel in interpret mode so CPU tests can cover it
+_FORCE_PALLAS = None
+
+
 def _fold_round_body(ops: LimbOps, values, challenge_limbs, stride: int, omegas_inv):
-    """One FRI fold (src/fri/fri_on_values.rs:70-105). values: (K, L)."""
+    """One FRI fold (src/fri/fri_on_values.rs:70-105). values: (K, L).
+
+    On TPU the whole round runs as ONE fused Pallas kernel
+    (field/pallas_kernels.pallas_fri_fold) instead of 5 separate
+    add/sub/mul launches; identical canonical limbs (Montgomery ops are
+    exact mod p, association is free)."""
     k = values.shape[0]
     half = k // 2
     lo, hi = values[:half], values[half:]
+    w = omegas_inv[::stride][:half]
+
+    from ..field.limbs import _pallas_enabled
+
+    use_pallas = _FORCE_PALLAS == "interpret" or (
+        _FORCE_PALLAS is None and _pallas_enabled()
+    )
+    if use_pallas and (half * 1) % 4096 == 0 and half > 0:
+        from ..field.pallas_kernels import pallas_fri_fold
+
+        c_scaled = ops.mul(challenge_limbs, ops.two_inv_m, allow_pallas=False)
+        return pallas_fri_fold(
+            ops.field, lo, hi, w, c_scaled, ops.two_inv_m,
+            interpret=_FORCE_PALLAS == "interpret",
+        )
     v_even = ops.add(lo, hi)
-    v_odd = ops.mul(ops.sub(lo, hi), omegas_inv[::stride][:half])
+    v_odd = ops.mul(ops.sub(lo, hi), w)
     folded = ops.mul(ops.add(v_even, ops.mul(v_odd, challenge_limbs)), ops.two_inv_m)
     return folded
 

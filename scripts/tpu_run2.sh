@@ -1,11 +1,16 @@
 #!/bin/bash
 # Round-2 TPU run #2: one consolidated process for NTT work (init is
-# slow/flaky - amortize it), then the prove bench in its own process.
+# slow/flaky - amortize it), then the prove bench in its own process,
+# then fallbacks so SOME number lands even if a kernel path hangs the
+# remote Mosaic compile.
 set -x
 cd /root/repo
-export PYTHONPATH=/root/repo:$PYTHONPATH  # keep /root/.axon_site first? no: append ours
+export PYTHONPATH=/root/repo:$PYTHONPATH
 
 timeout 600  python scripts/tpu_bench.py expected
-timeout 5400 python scripts/tpu_bench.py all
-BENCH_MODE=prove BENCH_LOG_ROWS=14 timeout 5400 python bench.py
+timeout 7200 python scripts/tpu_bench.py all
+BENCH_MODE=prove BENCH_LOG_ROWS=14 timeout 7200 python bench.py
+# fallbacks: jnp-only reduce path (no pallas) and the Pease kernel
+HODOR_DISABLE_PALLAS=1 BENCH_LOG_N=16 timeout 2400 python bench.py
+timeout 2400 python scripts/tpu_bench.py pease 16
 echo "=== tpu_run2 done ==="

@@ -15,6 +15,11 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_hodor")
+# HODOR_TEST_CACHE overrides so concurrent suites never share a cache
+# dir (shared dirs have produced segfaulting torn reads - CLAUDE.md)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("HODOR_TEST_CACHE", "/root/.cache/jax_hodor"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

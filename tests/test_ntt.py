@@ -115,3 +115,28 @@ def test_degree_one_eval_and_distribute():
     dp = ops.decode(distribute_powers(ops, a, ops.const(3)))
     for i in range(16):
         assert int(dp[i]) == (i + 1) * pow(3, i, field.p) % field.p
+
+
+def test_matmul_vs_pease_equivalence_f_bls():
+    """F_BLS's 255-bit modulus caps max_radix at 4 (128*p^2 overflows
+    the 2n-limb intermediate), so the matmul NTT runs radix-4 levels -
+    a dispatch branch no other field reaches. It must agree bit-exactly
+    with the constant-geometry Pease schedule (VERDICT round-1 item 4)."""
+    from hodor_tpu.field import F_BLS
+    from hodor_tpu.ntt import _ntt_pease
+    from hodor_tpu.ntt.matmul import max_radix, ntt_matmul
+
+    assert max_radix(F_BLS) == 4
+    random.seed(61)
+    field = F_BLS
+    ops = ops_for(field)
+    n = 512
+    a = ops.encode([random.randrange(field.p) for _ in range(n)])
+    import numpy as np
+
+    pease = np.asarray(_ntt_pease(ops, a, 9, False))
+    mat = np.asarray(ntt_matmul(ops, a))
+    assert (pease == mat).all()
+    pease_inv = np.asarray(_ntt_pease(ops, a, 9, True))
+    mat_inv = np.asarray(ntt_matmul(ops, a, inverse=True))
+    assert (pease_inv == mat_inv).all()

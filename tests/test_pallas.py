@@ -133,3 +133,32 @@ def test_pallas_blake2s_matches_jnp():
     raw = np.asarray(leaf_words[0], dtype="<u4").tobytes()[:32]
     expect = hashlib.blake2s(raw, key=b2.KEY, person=b2.PERSONAL).digest()
     assert b2.digest_to_bytes(got_leaf[0]) == expect
+
+
+@pytest.mark.parametrize("field", [F_STARK, F_BLS], ids=lambda f: f.name)
+def test_pallas_fri_fold_matches_jnp(field):
+    """The fused fold kernel (interpret mode) must produce bit-identical
+    limbs to the 5-op jnp fold for stride 1 and 2."""
+    import jax
+
+    import hodor_tpu.fri.fri as fr
+    from hodor_tpu.ntt import _omega_table
+
+    random.seed(47)
+    ops = ops_for(field)
+    n = 8192
+    vals = ops.encode([random.randrange(field.p) for _ in range(n)])
+    challenge = ops.const(random.randrange(1, field.p))
+    omegas_inv = jax.numpy.asarray(_omega_table(field, 13, True))
+    old = fr._FORCE_PALLAS
+    try:
+        # round i folds a 2^(13-i)-element vector with stride 2^i
+        for i, stride in ((0, 1), (1, 2)):
+            v = vals[: n >> i]
+            fr._FORCE_PALLAS = False
+            ref = np.asarray(fr._fold_round_body(ops, v, challenge, stride, omegas_inv))
+            fr._FORCE_PALLAS = "interpret"
+            got = np.asarray(fr._fold_round_body(ops, v, challenge, stride, omegas_inv))
+            assert (ref == got).all(), stride
+    finally:
+        fr._FORCE_PALLAS = old
