@@ -15,7 +15,7 @@ memory traffic in the FFT -> 6.4e8). The reference publishes no numbers
 explicitly.
 
 Environment knobs:
-  BENCH_LOG_N   transform size exponent (default 18)
+  BENCH_LOG_N   transform size exponent (default 16)
   BENCH_REPS    timed repetitions (default 5)
   BENCH_FIELD   F_STARK (default) | F_BLS | F257
 """

@@ -494,6 +494,11 @@ class ALIInstance:
                 "z": ops.const(z),
                 "alphas": ops.encode(alphas),
                 "roots": ops.encode(roots),
+                # domain-point arrays are per-domain constants: computed
+                # once per instance and reused across proves instead of
+                # re-deriving the O(N) powers chain inside every DEEP
+                "xs_f": self._domain_points(n_f),
+                "xs_g": self._domain_points(n_g),
             },
             tuple(regs),
         )
@@ -501,13 +506,22 @@ class ALIInstance:
         g_at_z = int(ops.decode(g_at_z_dev))
         return h1_lde, h2_lde, f_at_z_m, g_at_z
 
+    def _domain_points(self, n: int):
+        """[1, w, w^2, ...] over the size-n domain, computed once per
+        instance (device-resident constant across proves)."""
+        if not hasattr(self, "_xs_cache"):
+            self._xs_cache = {}
+        if n not in self._xs_cache:
+            dom = Domain.new_for_size(self.field, n)
+            g = self.ops.const(dom.generator)
+            self._xs_cache[n] = jax.jit(lambda gg: self.ops.powers(gg, n))(g)
+        return self._xs_cache[n]
+
     def _deep_traced(self, witness_coeffs, f_ldes, g_poly, g_lde, scalars, regs):
         ops = self.ops
         field = self.field
         n_f = f_ldes.shape[1]
         n_g = g_lde.shape[0]
-        f_domain = Domain.new_for_size(field, n_f)
-        g_domain = Domain.new_for_size(field, n_g)
         roots = scalars["roots"]  # (M, L)
         alphas = scalars["alphas"]
         z = scalars["z"]
@@ -521,7 +535,7 @@ class ALIInstance:
         # divisors 1/(x - m*z) on the f-LDE domain (deep.rs:57-72); the
         # domain points are PLAIN Omega^i (evaluate_at_domain_for_degree_one,
         # no coset shift)
-        xs_f = ops.powers(ops.const(f_domain.generator), n_f)  # (N_f, L)
+        xs_f = scalars["xs_f"]  # (N_f, L)
         diffs = ops.sub(xs_f[None, :, :], roots[:, None, :])  # (M, N_f, L)
         m = diffs.shape[0]
         inv = self._batched_inverse_2d(diffs.reshape(m * n_f, -1)).reshape(m, n_f, -1)
@@ -534,7 +548,7 @@ class ALIInstance:
 
         # h2 = (g_lde - g(z)) / (x - z) on the g-LDE domain (deep.rs:129-146)
         g_at_z = evaluate_at(ops, g_poly, z)
-        xs_g = ops.powers(ops.const(g_domain.generator), n_g)
+        xs_g = scalars["xs_g"]
         den = self._batched_inverse_2d(ops.sub(xs_g, z))
         h2_lde = ops.mul(ops.sub(g_lde, g_at_z), den)
 

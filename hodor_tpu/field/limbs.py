@@ -441,18 +441,48 @@ class LimbOps:
         return jax.lax.fori_loop(0, nbits, body, init)
 
     def batch_inverse(self, arr):
-        """Elementwise inverse of (N, n16) via Montgomery's trick.
+        """Elementwise inverse of (N, n16) via a product tree.
 
-        Mirrors Polynomial::batch_inversion (src/polynomials/mod.rs:889-954)
-        with log-depth scans and a single Fermat inversion of the grand
-        product. Fully traceable (no host round trip). NOTE: unlike the
-        reference (which returns Err), a zero element yields garbage in
-        trace mode - call `assert_nonzero` outside jit where the reference
+        The role of Polynomial::batch_inversion
+        (src/polynomials/mod.rs:889-954): one Fermat inversion of the
+        grand product, everything else multiplies. The reference's
+        sequential prefix walk becomes a log-depth product TREE
+        (up-sweep pairwise products, then a down-sweep distributing the
+        root inverse), costing ~3N vectorized muls total - the
+        Hillis-Steele prefix scan this replaces cost 2N*log2(N).
+        Fully traceable (no host round trip). NOTE: unlike the reference
+        (which returns Err), a zero element yields garbage in trace
+        mode - call `assert_nonzero` outside jit where the reference
         semantics matter.
         """
-        prefix = self.prod_scan(arr)  # P[i] = a0*...*ai
-        total_inv = self.inv_fermat(prefix[-1])
-        return self._batch_inverse_tail(arr, prefix, total_inv)
+        n = arr.shape[0]
+        if n == 1:
+            return self.inv_fermat(arr[0])[None, :]
+        from ..domain import next_power_of_two
+
+        n_pad = next_power_of_two(n)
+        if n_pad != n:
+            pad = jnp.broadcast_to(self.one_m, (n_pad - n, self.n16))
+            work = jnp.concatenate([arr, pad], axis=0)
+        else:
+            work = arr
+        # up-sweep: levels[k][i] = product of a[i*2^k .. (i+1)*2^k)
+        levels = [work]
+        cur = work
+        while cur.shape[0] > 1:
+            cur = self.mul(cur[0::2], cur[1::2])
+            levels.append(cur)
+        inv = self.inv_fermat(cur[0])[None, :]  # inverse of the grand product
+        # down-sweep: inv of each node from its parent's inverse and its
+        # sibling's product
+        for lvl in reversed(levels[:-1]):
+            left, right = lvl[0::2], lvl[1::2]
+            inv_left = self.mul(inv, right)
+            inv_right = self.mul(inv, left)
+            inv = jnp.stack([inv_left, inv_right], axis=1).reshape(
+                lvl.shape[0], self.n16
+            )
+        return inv[:n]
 
     def assert_nonzero(self, arr):
         """Host-side check matching the reference's Err on zero elements."""

@@ -1,4 +1,4 @@
-"""TPU perf/验证 driver for round-2 NTT work. Each subcommand is one
+"""TPU perf/verification driver for round-2 NTT work. Each subcommand is one
 process so a hung remote Mosaic compile only kills that step (the shell
 driver wraps each in `timeout`).
 

@@ -9,7 +9,11 @@ export PYTHONPATH=/root/repo:$PYTHONPATH
 
 timeout 600  python scripts/tpu_bench.py expected
 timeout 7200 python scripts/tpu_bench.py all
+# first numbers at reference-benchmark scale (BASELINE.json configs[2])
+timeout 3600 python scripts/tpu_bench.py ntt 22
+timeout 3600 python scripts/tpu_bench.py ntt 24
 BENCH_MODE=prove BENCH_LOG_ROWS=14 timeout 7200 python bench.py
+BENCH_MODE=prove BENCH_LOG_ROWS=16 timeout 7200 python bench.py
 # fallbacks: jnp-only reduce path (no pallas) and the Pease kernel
 HODOR_DISABLE_PALLAS=1 BENCH_LOG_N=16 timeout 2400 python bench.py
 timeout 2400 python scripts/tpu_bench.py pease 16
