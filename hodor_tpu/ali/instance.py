@@ -502,8 +502,9 @@ class ALIInstance:
             },
             tuple(regs),
         )
-        f_at_z_m = [int(v) for v in ops.decode(f_at_z_m_dev)]
-        g_at_z = int(ops.decode(g_at_z_dev))
+        f_np, g_np = jax.device_get((f_at_z_m_dev, g_at_z_dev))  # ONE sync
+        f_at_z_m = [int(v) for v in ops.decode(f_np)]
+        g_at_z = int(ops.decode(g_np))
         return h1_lde, h2_lde, f_at_z_m, g_at_z
 
     def _domain_points(self, n: int):

@@ -151,6 +151,20 @@ def _fri_chain(ops: LimbOps, lde_values, num_steps: int, omegas_inv):
     return tuple(trees), jnp.stack(roots), tuple(intermediate), final_coeffs
 
 
+@partial(jax.jit, static_argnums=(0, 2, 5))
+def _fri_chain_pair(ops, lde1, steps1, om1, lde2, steps2, om2):
+    """Both FRI ladders (h1 and h2) in ONE device program. The chains
+    are data-independent (each round's fold challenge derives from its
+    own Merkle root on device, never the shared transcript -
+    src/fri/fri_on_values.rs:106-127), so XLA can interleave them and
+    the prover pays one dispatch + one stacked host fetch instead of
+    two of each."""
+    return (
+        _fri_chain.__wrapped__(ops, lde1, steps1, om1),
+        _fri_chain.__wrapped__(ops, lde2, steps2, om2),
+    )
+
+
 @jax.jit
 def _gather_chain_queries(chain_data, idx_arrays):
     """One fused gather of every round's query values + full Merkle
@@ -210,7 +224,55 @@ class NaiveFriIop:
         trees, roots_dev, intermediate_values, final_coeffs_dev = _fri_chain(
             ops, lde_values, num_steps, omegas_inv
         )
-        roots_np = np.asarray(jax.device_get(roots_dev))  # (num_trees, 8)
+        roots_np, coeffs_np = jax.device_get((roots_dev, final_coeffs_dev))
+        return NaiveFriIop._assemble_prototype(
+            ops, field, trees, np.asarray(roots_np), intermediate_values,
+            np.asarray(coeffs_np), initial_degree_plus_one,
+            output_coeffs_at_degree_plus_one, lde_factor,
+        )
+
+    @staticmethod
+    def proofs_from_lde_pair(
+        lde1, lde2, lde_factor: int, output_coeffs_at_degree_plus_one: int, field: Field
+    ):
+        """FRI prototypes for TWO polynomials (the prover's h1/h2) from a
+        single device program + a single batched host fetch (roots and
+        final coefficients of both chains in one transfer)."""
+        ops = ops_for(field)
+        from ..ntt import _omega_table
+
+        sizes = (lde1.shape[0], lde2.shape[0])
+        oms = tuple(
+            jnp.asarray(_omega_table(field, log2_floor(n), True)) for n in sizes
+        )
+        idpos = tuple(n // lde_factor for n in sizes)
+        steps = tuple(
+            log2_floor(d // output_coeffs_at_degree_plus_one) for d in idpos
+        )
+        (trees1, roots1, inter1, fc1), (trees2, roots2, inter2, fc2) = _fri_chain_pair(
+            ops, lde1, steps[0], oms[0], lde2, steps[1], oms[1]
+        )
+        r1, c1, r2, c2 = jax.device_get((roots1, fc1, roots2, fc2))  # ONE sync
+        protos = []
+        for trees, roots_np, inter, coeffs_np, idpo in (
+            (trees1, r1, inter1, c1, idpos[0]),
+            (trees2, r2, inter2, c2, idpos[1]),
+        ):
+            protos.append(
+                NaiveFriIop._assemble_prototype(
+                    ops, field, trees, np.asarray(roots_np), inter,
+                    np.asarray(coeffs_np), idpo,
+                    output_coeffs_at_degree_plus_one, lde_factor,
+                )
+            )
+        return protos[0], protos[1]
+
+    @staticmethod
+    def _assemble_prototype(
+        ops, field, trees, roots_np, intermediate_values, final_coeffs_np,
+        initial_degree_plus_one, output_coeffs_at_degree_plus_one, lde_factor,
+    ) -> FRIProofPrototype:
+        """Host-side prototype assembly from fetched chain outputs."""
         root_bytes = [digest_to_bytes(r) for r in roots_np]
 
         l0 = MerkleTree(trees[0][0], list(trees[0][1]), field, root_bytes=root_bytes[0])
@@ -224,7 +286,7 @@ class NaiveFriIop:
         roots = root_bytes[1:]
         final_root = roots[-1] if roots else root_bytes[0]
 
-        final_coeffs = [int(v) for v in ops.decode(final_coeffs_dev)][
+        final_coeffs = [int(v) for v in ops.decode(final_coeffs_np)][
             :output_coeffs_at_degree_plus_one
         ]
         intermediate_values = list(intermediate_values)
@@ -291,16 +353,12 @@ class NaiveFriIop:
     # --------------------------------------------------- query producer
 
     @staticmethod
-    def prototype_into_proof(
-        prototype: FRIProofPrototype, iop_values, natural_first_element_index: int, field: Field
-    ) -> FRIProof:
-        """Walk all rounds producing coset queries
-        (src/fri/query_producer.rs:10-53). iop_values is the (N, L) device
-        array committed in l0. All rounds' values + full Merkle paths are
-        gathered in ONE device program + ONE transfer."""
-        from ..merkle.tree import digest_to_bytes
-
-        ops = ops_for(field)
+    def _query_plan(prototype: FRIProofPrototype, iop_values, natural_first_element_index: int):
+        """Chain-walk bookkeeping for the query producer
+        (src/fri/query_producer.rs:10-53): per round the (tree, values)
+        pair plus the coset indices to open. Returns (trees, cosets,
+        chain_data, idx_arrays) - the device gather itself is left to the
+        caller so several polynomials' plans can share ONE program."""
         domain_size = prototype.initial_degree_plus_one * prototype.lde_factor
         domain_idx = natural_first_element_index
 
@@ -316,8 +374,14 @@ class NaiveFriIop:
             chain_data.append((tree.leaf_hashes, tuple(tree.levels), vals))
             idx_arrays.append(jnp.asarray(np.asarray(coset, dtype=np.int32)))
             domain_idx, domain_size = index_and_size_for_next_domain(domain_idx, domain_size)
+        return trees, cosets, chain_data, idx_arrays
 
-        gathered = jax.device_get(_gather_chain_queries(chain_data, idx_arrays))
+    @staticmethod
+    def _proof_from_gathered(
+        prototype: FRIProofPrototype, trees, cosets, gathered, ops
+    ) -> FRIProof:
+        """Assemble an FRIProof from fetched (values, sibling-paths)."""
+        from ..merkle.tree import digest_to_bytes
 
         queries: List[IopQuery] = []
         roots: List[bytes] = []
@@ -336,6 +400,21 @@ class NaiveFriIop:
             output_coeffs_at_degree_plus_one=prototype.output_coeffs_at_degree_plus_one,
             lde_factor=prototype.lde_factor,
         )
+
+    @staticmethod
+    def prototype_into_proof(
+        prototype: FRIProofPrototype, iop_values, natural_first_element_index: int, field: Field
+    ) -> FRIProof:
+        """Walk all rounds producing coset queries
+        (src/fri/query_producer.rs:10-53). iop_values is the (N, L) device
+        array committed in l0. All rounds' values + full Merkle paths are
+        gathered in ONE device program + ONE transfer."""
+        ops = ops_for(field)
+        trees, cosets, chain_data, idx_arrays = NaiveFriIop._query_plan(
+            prototype, iop_values, natural_first_element_index
+        )
+        gathered = jax.device_get(_gather_chain_queries(chain_data, idx_arrays))
+        return NaiveFriIop._proof_from_gathered(prototype, trees, cosets, gathered, ops)
 
     # --------------------------------------------------------- verifier
 

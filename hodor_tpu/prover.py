@@ -156,15 +156,12 @@ class Prover:
                 witness_polys, f_ldes, g_poly, g_lde_vals, transcript
             )
 
-        # 6. FRI for h1 and h2 (src/prover/mod.rs:112-113); each is one
-        # fused device program (fri/_fri_chain)
-        with timer.stage("fri_h1"):
-            h1_proto = NaiveFriIop.proof_from_lde(
-                h1_lde, self.lde_factor, self.fri_final_degree_plus_one, field
-            )
-        with timer.stage("fri_h2"):
-            h2_proto = NaiveFriIop.proof_from_lde(
-                h2_lde, self.lde_factor, self.fri_final_degree_plus_one, field
+        # 6. FRI for h1 and h2 (src/prover/mod.rs:112-113); both ladders
+        # run in ONE device program with a single batched host fetch
+        # (fri/_fri_chain_pair)
+        with timer.stage("fri_h1+h2"):
+            h1_proto, h2_proto = NaiveFriIop.proofs_from_lde_pair(
+                h1_lde, h2_lde, self.lde_factor, self.fri_final_degree_plus_one, field
             )
 
         # 7. commit final roots + coefficients (src/prover/mod.rs:118-127)
@@ -185,32 +182,41 @@ class Prover:
             transcript.get_challenge_bytes(), h2_size, self.lde_factor
         )
 
-        # 9. FRI query paths (src/prover/mod.rs:142-143)
+        # 9+10. ALL query openings - both FRI chains' coset walks
+        # (src/prover/mod.rs:142-143) and the f/g oracle openings
+        # (:146-151) - in ONE device gather + ONE transfer
         with timer.stage("queries"):
-            fri_proof_h1 = NaiveFriIop.prototype_into_proof(h1_proto, h1_lde, x_h1, field)
-            fri_proof_h2 = NaiveFriIop.prototype_into_proof(h2_proto, h2_lde, x_h2, field)
-
-        # 10. f / g oracle queries, one fused gather (src/prover/mod.rs:146-151)
-        chain_data = [
-            (o.leaf_hashes, tuple(o.levels), f_ldes[r])
-            for r, o in enumerate(f_oracles)
-        ] + [(g_oracle.leaf_hashes, tuple(g_oracle.levels), g_lde_vals)]
-        idx_arrays = [jnp.asarray([x_h1], jnp.int32)] * len(f_oracles) + [
-            jnp.asarray([x_h2], jnp.int32)
-        ]
-        gathered = jax.device_get(_gather_chain_queries(chain_data, idx_arrays))
-        f_queries = []
-        for r, (v, sibs) in enumerate(gathered[:-1]):
-            path = [digest_to_bytes(sibs[d, 0]) for d in range(sibs.shape[0])]
-            f_queries.append(
-                IopQuery(index=x_h1, value=int(ops.decode(v[0])), path=path)
+            h1_plan = NaiveFriIop._query_plan(h1_proto, h1_lde, x_h1)
+            h2_plan = NaiveFriIop._query_plan(h2_proto, h2_lde, x_h2)
+            chain_data = h1_plan[2] + h2_plan[2]
+            idx_arrays = h1_plan[3] + h2_plan[3]
+            chain_data += [
+                (o.leaf_hashes, tuple(o.levels), f_ldes[r])
+                for r, o in enumerate(f_oracles)
+            ] + [(g_oracle.leaf_hashes, tuple(g_oracle.levels), g_lde_vals)]
+            idx_arrays += [jnp.asarray([x_h1], jnp.int32)] * len(f_oracles) + [
+                jnp.asarray([x_h2], jnp.int32)
+            ]
+            gathered = jax.device_get(_gather_chain_queries(chain_data, idx_arrays))
+            n1, n2 = len(h1_plan[2]), len(h2_plan[2])
+            fri_proof_h1 = NaiveFriIop._proof_from_gathered(
+                h1_proto, h1_plan[0], h1_plan[1], gathered[:n1], ops
             )
-        gv, gsibs = gathered[-1]
-        g_query = IopQuery(
-            index=x_h2,
-            value=int(ops.decode(gv[0])),
-            path=[digest_to_bytes(gsibs[d, 0]) for d in range(gsibs.shape[0])],
-        )
+            fri_proof_h2 = NaiveFriIop._proof_from_gathered(
+                h2_proto, h2_plan[0], h2_plan[1], gathered[n1 : n1 + n2], ops
+            )
+            f_queries = []
+            for r, (v, sibs) in enumerate(gathered[n1 + n2 : -1]):
+                path = [digest_to_bytes(sibs[d, 0]) for d in range(sibs.shape[0])]
+                f_queries.append(
+                    IopQuery(index=x_h1, value=int(ops.decode(v[0])), path=path)
+                )
+            gv, gsibs = gathered[-1]
+            g_query = IopQuery(
+                index=x_h2,
+                value=int(ops.decode(gv[0])),
+                path=[digest_to_bytes(gsibs[d, 0]) for d in range(gsibs.shape[0])],
+            )
 
         return InstanceProof(
             f_at_z_m=f_at_z_m,

@@ -50,8 +50,7 @@ def test_prove_stage_timings_recorded():
         "witness+f_ldes+f_oracles",
         "g_composition+g_oracle",
         "deep",
-        "fri_h1",
-        "fri_h2",
+        "fri_h1+h2",
         "queries",
     ):
         assert name in stages

@@ -95,3 +95,23 @@ def test_prove_with_higher_fri_output_degree():
     proof = prover.prove(witness)
     assert len(proof.fri_proof_h1.final_coefficients) == 4
     assert Verifier(props, lde_factor=16).verify(proof)
+
+
+def test_fri_pair_matches_singles():
+    """proofs_from_lde_pair (the prover's one-program h1+h2 ladder) must
+    be bit-identical to two independent proof_from_lde chains - roots,
+    challenges, final coefficients, and every intermediate vector."""
+    field = F257
+    lde1 = _make_lde(field, 4, 8, seed=7)   # h1-sized
+    lde2 = _make_lde(field, 3, 8, seed=8)   # h2-sized (smaller domain)
+    p1, p2 = NaiveFriIop.proofs_from_lde_pair(lde1, lde2, 8, 1, field)
+    s1 = NaiveFriIop.proof_from_lde(lde1, 8, 1, field)
+    s2 = NaiveFriIop.proof_from_lde(lde2, 8, 1, field)
+    ops = ops_for(field)
+    for pair, single in ((p1, s1), (p2, s2)):
+        assert pair.get_roots() == single.get_roots()
+        assert pair.challenges == single.challenges
+        assert pair.final_coefficients == single.final_coefficients
+        assert pair.final_root == single.final_root
+        for a, b in zip(pair.intermediate_values, single.intermediate_values):
+            assert list(ops.decode(a)) == list(ops.decode(b))
