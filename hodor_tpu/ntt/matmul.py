@@ -124,6 +124,46 @@ def _level_twiddles(field: Field, n: int, n1: int, inverse: bool):
 
 
 @lru_cache(maxsize=None)
+def _strided_twiddles(field: Field, n: int, n1: int, count: int, step: int,
+                      inverse: bool):
+    """(n1, count, L) Montgomery table T[k1, i] = w_N^(k1 * step * i)."""
+    domain = Domain.new_for_size(field, n)
+    w = domain.generator_inv if inverse else domain.generator
+    n16 = field.n16
+    out = np.zeros((n1, count, n16), dtype=np.uint32)
+    for k1 in range(n1):
+        base = pow(w, k1 * step, field.p)
+        v = 1
+        for i in range(count):
+            out[k1, i] = int_to_limbs(field.to_mont(v), n16)
+            v = v * base % field.p
+    return out
+
+
+# twiddle tables above this element count are not embedded as XLA
+# literals (a (n1*n2, L) u32 literal is 1 GiB at N=2^24 - fatal for the
+# tunnel compile service, and even 64 MB at 2^20 bloats the shipped
+# HLO); they are built in-graph from two small strided factors at the
+# cost of one extra (Pallas-fused) elementwise mul
+_TW_LITERAL_MAX = 1 << 18
+
+
+def _level_twiddles_traced(ops: LimbOps, n: int, n1: int, inverse: bool):
+    """(n1, n2, L) twiddle array for the top recombination level - a
+    host literal when small, else the in-graph product of two strided
+    factors w^(k1*s*a) * w^(k1*b) (j2 = a*s + b)."""
+    n2 = n // n1
+    if n1 * n2 <= _TW_LITERAL_MAX:
+        return jnp.asarray(_level_twiddles(ops.field, n, n1, inverse))
+    s = 1 << (log2_floor(n2) // 2)
+    assert n2 % s == 0
+    t_lo = jnp.asarray(_strided_twiddles(ops.field, n, n1, s, 1, inverse))
+    t_hi = jnp.asarray(_strided_twiddles(ops.field, n, n1, n2 // s, s, inverse))
+    prod = ops.mul(t_hi[:, :, None, :], t_lo[:, None, :, :])  # (n1, n2/s, s, L)
+    return prod.reshape(n1, n2, ops.n16)
+
+
+@lru_cache(maxsize=None)
 def max_radix(field: Field) -> int:
     """Largest power-of-2 radix r such that r * p^2 fits the 2n-limb
     intermediate (r * p^2 < 2^(32*n16))."""
@@ -300,7 +340,7 @@ def ntt_matmul(ops: LimbOps, x, inverse: bool = False):
     # inner: DFT_{n1} over j1 (axis -3) -> indexed [k1, j2], with the
     # twiddle w^(k1*j2) fused into the DFT's Montgomery reduction kernel
     inner = jnp.swapaxes(a, -3, -2)  # (..., n2, n1, L)
-    tw = jnp.asarray(_level_twiddles(ops.field, n, n1, inverse))  # (n1, n2, L)
+    tw = _level_twiddles_traced(ops, n, n1, inverse)  # (n1, n2, L)
     inner = _dft_matmul(ops, inner, n1, inverse, tw=jnp.swapaxes(tw, 0, 1))
     inner = jnp.swapaxes(inner, -3, -2)  # (..., n1(k1), n2(j2), L)
     # outer: DFT_{n2} over j2 per k1 (recurse; k1 folds into the batch)

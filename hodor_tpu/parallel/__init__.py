@@ -94,21 +94,24 @@ def four_step_ntt(ops: LimbOps, a, mesh: Mesh, axis: str = "shards"):
     A = jax.lax.with_sharding_constraint(A, NamedSharding(mesh, P(axis, None, None)))
     # step 1: N1-point NTTs along the j1 axis (local per row after sharding rows)
     inner = ntt(ops, A)  # (n2, n1, L) -> indexed [j2, k1]
-    # step 2: twiddles w^(j2*k1)
-    with jax.ensure_compile_time_eval():
-        om = ops.const(domain.generator)
-    j2 = jax.lax.broadcasted_iota(jnp.uint32, (n2, n1), 0)
-    k1 = jax.lax.broadcasted_iota(jnp.uint32, (n2, n1), 1)
-    # w^(j2*k1) via gather from the full omega power table
-    tw_idx = (j2 * k1) % jnp.uint32(n)
-    full_table = ops.powers(om, n)  # (N, L)
-    tw = jnp.take(full_table, tw_idx.reshape(-1), axis=0).reshape(n2, n1, L)
-    inner = ops.mul(inner, tw)
-    # step 3: N2-point NTTs along the j2 axis for each k1: transpose so
-    # k1 is the leading (sharded) axis - this is the all-to-all
+    # step 2: transpose so k1 is the leading (sharded) axis - this is
+    # the all-to-all
     B = jnp.swapaxes(inner, 0, 1)  # (n1, n2, L) indexed [k1, j2]
     B = jax.lax.with_sharding_constraint(B, NamedSharding(mesh, P(axis, None, None)))
-    outer = ntt(ops, B)  # [k1, k2]
+    # step 3: twiddles w^(j2*k1) = m[j2]^k1 with m[j2] = w^j2, built by an
+    # n1-step scan of vectorized muls - no N-sized omega table, no gather
+    # (the old full-table form cost (N, L) replicated memory: 1 GiB at
+    # 2^24, fatal for the 2^26-row multi-host target)
+    with jax.ensure_compile_time_eval():
+        om = ops.const(domain.generator)
+    m = ops.powers(om, n2)  # (n2, L): w^j2
+
+    def _tw_step(cur, _):
+        return ops.mul(cur, m), cur
+
+    ones = jnp.broadcast_to(ops.one_m, (n2, L))
+    _, tw = jax.lax.scan(_tw_step, ones, None, length=n1)  # (n1, n2, L) [k1, j2]
+    outer = ntt(ops, ops.mul(B, tw))  # [k1, k2]
     # natural order: out[k2*N1 + k1] = outer[k1, k2]
     out = jnp.swapaxes(outer, 0, 1).reshape(n, L)
     return jax.lax.with_sharding_constraint(

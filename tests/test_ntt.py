@@ -140,3 +140,27 @@ def test_matmul_vs_pease_equivalence_f_bls():
     pease_inv = np.asarray(_ntt_pease(ops, a, 9, True))
     mat_inv = np.asarray(ntt_matmul(ops, a, inverse=True))
     assert (pease_inv == mat_inv).all()
+
+
+def test_matmul_split_twiddle_path(monkeypatch):
+    """Above _TW_LITERAL_MAX elements the top-level recombination
+    twiddles are built in-graph from two strided factors instead of one
+    giant XLA literal (1 GiB at 2^24). Force the split at a small size
+    and check bit-exactness against the literal path."""
+    from hodor_tpu.ntt import matmul as mm
+
+    random.seed(62)
+    field = F_STARK
+    ops = ops_for(field)
+    n = 1 << 9
+    a = ops.encode([random.randrange(field.p) for _ in range(n)])
+    import numpy as np
+
+    ref = np.asarray(mm.ntt_matmul(ops, a))
+    ref_inv = np.asarray(mm.ntt_matmul(ops, a, inverse=True))
+    monkeypatch.setattr(mm, "_TW_LITERAL_MAX", 16)
+    jax.clear_caches()
+    assert (np.asarray(mm.ntt_matmul(ops, a)) == ref).all()
+    assert (np.asarray(mm.ntt_matmul(ops, a, inverse=True)) == ref_inv).all()
+    monkeypatch.undo()
+    jax.clear_caches()
