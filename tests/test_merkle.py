@@ -101,3 +101,24 @@ def test_transcript_matches_rust_semantics():
     d2 = hashlib.blake2s(buf + d, key=KEY, person=PERSONAL).digest()
     c = t.get_challenge()
     assert c == int.from_bytes(d2[:8], "big") & 0xFF
+
+
+def test_digest_to_challenge_mont_matches_host():
+    """The on-device root->challenge map (digest_to_challenge_mont,
+    used for Fiat-Shamir-free FRI fold challenges inside _fri_chain)
+    must agree with the host Field.from_be_with_shave on the digest
+    bytes (src/iop/blake2s_trivial_iop.rs:226-234) for every field."""
+    import numpy as np
+
+    from hodor_tpu.field import F_BLS
+    from hodor_tpu.merkle.blake2s import digest_to_challenge_mont
+
+    rng = random.Random(99)
+    for field in (F257, F_STARK, F_BLS):
+        ops = ops_for(field)
+        for _ in range(8):
+            digest = bytes(rng.randrange(256) for _ in range(32))
+            words = np.frombuffer(digest, dtype="<u4").copy()
+            host = field.from_be_with_shave(digest)
+            dev = int(ops.decode(digest_to_challenge_mont(ops, words)))
+            assert dev == host
