@@ -223,6 +223,10 @@ def _coset_generators(ops: LimbOps, t: int, factor: int, coset: bool):
     return gens
 
 
+# batched-vs-sequential LDE switch, in u32 elements (see lde below)
+_LDE_SEQUENTIAL_MIN = 1 << 29
+
+
 def lde(ops: LimbOps, coeffs, factor: int, coset: bool = False):
     """Low-degree extension by `factor` on the blown-up 2^k domain, in
     natural order: out[idx] = f((g*)Omega^idx), idx < T*factor.
@@ -241,11 +245,15 @@ def lde(ops: LimbOps, coeffs, factor: int, coset: bool = False):
     L = coeffs.shape[-1]
     gens = _coset_generators(ops, t, factor, coset)  # (factor, L)
     # keep never-materializing-more-than-T the reference's way
-    # (lde_using_multiple_cosets): for big domains run the cosets
+    # (lde_using_multiple_cosets): for very big domains run the cosets
     # SEQUENTIALLY (lax.map) so peak memory stays O(T), exactly the
-    # reference's memory-scaling trick (src/polynomials/mod.rs:418-482)
+    # reference's memory-scaling trick (src/polynomials/mod.rs:418-482).
+    # Threshold: 2^29 u32 elements = 2 GiB materialized batch - below
+    # that the batched form easily fits v5e HBM and keeps all `factor`
+    # coset NTTs in one parallel program (serializing them at 2^24 cost
+    # the 2^16-row prove its coset parallelism for no memory benefit)
     big = t * factor * L * int(np.prod(coeffs.shape[:-2], dtype=np.int64) or 1)
-    sequential = big >= (1 << 24)
+    sequential = big >= _LDE_SEQUENTIAL_MIN
 
     def one_coset(g):
         pw = ops.powers(g, t)  # (T, L)

@@ -164,3 +164,25 @@ def test_matmul_split_twiddle_path(monkeypatch):
     assert (np.asarray(mm.ntt_matmul(ops, a, inverse=True)) == ref_inv).all()
     monkeypatch.undo()
     jax.clear_caches()
+
+
+def test_lde_sequential_path_matches_batched(monkeypatch):
+    """The memory-bounded sequential (lax.map) coset walk in lde() must
+    be bit-identical to the batched form (it only engages above
+    _LDE_SEQUENTIAL_MIN elements, beyond any test shape - force it)."""
+    import numpy as np
+
+    import hodor_tpu.ntt as nttmod
+
+    random.seed(63)
+    field = F_STARK
+    ops = ops_for(field)
+    coeffs = ops.encode([random.randrange(field.p) for _ in range(64)])
+    for coset in (False, True):
+        ref = np.asarray(nttmod.lde(ops, coeffs, 8, coset=coset))
+        monkeypatch.setattr(nttmod, "_LDE_SEQUENTIAL_MIN", 1)
+        jax.clear_caches()
+        seq = np.asarray(nttmod.lde(ops, coeffs, 8, coset=coset))
+        monkeypatch.undo()
+        jax.clear_caches()
+        assert (ref == seq).all()
