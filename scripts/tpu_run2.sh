@@ -8,6 +8,9 @@ cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
 
 timeout 600  python scripts/tpu_bench.py expected
+# one cheap timing FIRST so a number lands even if a later kernel hangs
+# the consolidated `all` process
+timeout 2400 python scripts/tpu_bench.py ntt 16
 timeout 7200 python scripts/tpu_bench.py all
 # first numbers at reference-benchmark scale (BASELINE.json configs[2])
 timeout 3600 python scripts/tpu_bench.py ntt 22
