@@ -864,3 +864,188 @@ def pallas_addsub(field: Field, a, b, mode: str, interpret: bool = False):
     b3 = jnp.moveaxis(b.reshape(total, n), 1, 0).reshape(n, total // LANES, LANES)
     out = _addsub_call(field, ROWS, mode, interpret)(a3, b3)
     return jnp.moveaxis(out.reshape(n, total), 0, 1).reshape(shape)
+
+
+# ------------------------------------------- fused DFT-128 + wide reduce
+# EXPERIMENTAL (round-2 prep for round 3, gated by HODOR_NTT_FUSED):
+# the radix-128 DFT matmul currently runs as an XLA s8 dot whose
+# (4n-1, S, M) int32 column output round-trips HBM (252 B/element -
+# ~4x the data itself) before pallas_wide_reduce consumes it. This
+# kernel runs the dot ON THE MXU INSIDE the same Mosaic kernel that
+# reduces the columns: grid (m_tiles, C) with the C axis innermost, the
+# x tile resident in VMEM across all C steps, one 512 KB w-plane slice
+# streamed per step, base-256 columns folded incrementally into the
+# relaxed-limb accumulator, and the Montgomery reduction (+ optional
+# fused twiddle multiply) as the epilogue of the last step. The columns
+# never touch HBM.
+
+
+def _dft_reduce_kernel(n, chain, p_list, sp, c_count, has_tw, *refs):
+    if has_tw:
+        (w_ref, wsum_ref, x_ref, tw_ref, p_ref, pinv_ref, o_ref,
+         acc_ref, macc_ref, sx_ref) = refs
+    else:
+        (w_ref, wsum_ref, x_ref, p_ref, pinv_ref, o_ref,
+         acc_ref, macc_ref, sx_ref) = refs
+    c = pl.program_id(1)
+    S = acc_ref.shape[1]
+    zeros_block = jnp.zeros((S, LANES), jnp.uint32)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.uint32)
+        xi = x_ref[:, 0, :].astype(jnp.int32)  # (SP, LANES)
+        # sx[m] = sum_j,q xb = sum x_s8 + 128*SP (broadcast row)
+        sx_ref[...] = jnp.broadcast_to(
+            jnp.sum(xi, axis=0)[None, :] + 128 * sp, sx_ref.shape
+        )
+
+    # one (S, SP) @ (SP, LANES) s8 dot on the MXU -> int32 columns
+    d = jax.lax.dot_general(
+        w_ref[0], x_ref[:, 0, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (S, LANES)
+    col = (
+        d + sx_ref[0, :][None, :] * 128 + wsum_ref[0] * 128
+        - (128 * 128) * sp
+    ).astype(jnp.uint32)
+
+    # incremental base-256 -> relaxed-16-bit fold (the A/B split of
+    # _mont_reduce_wide): even col c adds to limb c//2; odd col c adds
+    # its low byte (<<8) to limb (c-1)//2 and high bits to (c+1)//2
+    half = c // 2
+
+    @pl.when(c % 2 == 0)
+    def _even():
+        acc_ref[pl.ds(half, 1)] += col[None]
+
+    @pl.when(c % 2 == 1)
+    def _odd():
+        acc_ref[pl.ds(half, 1)] += ((col & 0xFF) << 8)[None]
+        acc_ref[pl.ds(half + 1, 1)] += (col >> 8)[None]
+
+    @pl.when(c == c_count - 1)
+    def _epilogue():
+        p_arr = p_ref[:]  # (n, 1, LANES)
+        pinv_arr = pinv_ref[:]
+
+        def tchain(k, carry):
+            t = acc_ref[k] + carry
+            acc_ref[k] = t & MASK16
+            return t >> 16
+
+        jax.lax.fori_loop(0, 2 * n, tchain, zeros_block)
+
+        macc_ref[...] = jnp.zeros(macc_ref.shape, jnp.uint32)
+
+        def p2(i, _):
+            ti = acc_ref[i]
+            pr = ti[None, :, :] * pinv_arr
+            macc_ref[pl.ds(i, n)] += pr & MASK16
+            macc_ref[pl.ds(i + 1, n)] += pr >> 16
+            return 0
+
+        jax.lax.fori_loop(0, n, p2, 0)
+
+        def mchain(k, carry):
+            t = macc_ref[k] + carry
+            macc_ref[k] = t & MASK16
+            return t >> 16
+
+        jax.lax.fori_loop(0, n, mchain, zeros_block)
+
+        def p3(i, _):
+            mi = macc_ref[i]
+            pr = mi[None, :, :] * p_arr
+            acc_ref[pl.ds(i, n)] += pr & MASK16
+            acc_ref[pl.ds(i + 1, n)] += pr >> 16
+            return 0
+
+        jax.lax.fori_loop(0, n, p3, 0)
+
+        def uchain(k, carry):
+            t = acc_ref[k] + carry
+            acc_ref[k] = t & MASK16
+            return t >> 16
+
+        jax.lax.fori_loop(0, 2 * n, uchain, zeros_block)
+
+        u = [acc_ref[n + k] for k in range(n)]
+        for mult in chain:
+            u = _cond_sub_ints(u, mult, n)
+        o_ref[0] = jnp.stack(u, axis=0)
+
+        if has_tw:
+            # fused level-twiddle Montgomery multiply (v2 phase structure)
+            _mont_mul_phases(
+                n,
+                o_ref.at[0],
+                tw_ref[0],
+                o_ref.at[0],
+                acc_ref,
+                macc_ref,
+                p_arr,
+                pinv_arr,
+                zeros_block,
+            )
+
+
+@lru_cache(maxsize=None)
+def _dft_reduce_call(field: Field, chain, size: int, has_tw: bool, interpret: bool):
+    n = field.n16
+    P = 2 * n
+    SP = size * P
+    C = 4 * n - 1
+    p_list = tuple(int(v) for v in int_to_limbs(field.p, n))
+    pinv_list = tuple(int(v) for v in int_to_limbs(field.p_inv_neg, n))
+    kern = partial(_dft_reduce_kernel, n, chain, p_list, SP, C, has_tw)
+    p_arr = np.broadcast_to(
+        np.asarray(p_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+    pinv_arr = np.broadcast_to(
+        np.asarray(pinv_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+
+    def call(w_s8, w_sum_b, x_s8, tw4):
+        """w_s8 (C, S, SP) int8; w_sum_b (C, S, LANES) int32;
+        x_s8 (SP, m_tiles, LANES) int8; tw4 (m_tiles, n, S, LANES) or
+        None. Returns (m_tiles, n, S, LANES) Montgomery limbs."""
+        m_tiles = x_s8.shape[1]
+        grid = (m_tiles, C)
+        wspec = pl.BlockSpec((1, size, SP), lambda i, c: (c, 0, 0))
+        wsumspec = pl.BlockSpec((1, size, LANES), lambda i, c: (c, 0, 0))
+        xspec = pl.BlockSpec((SP, 1, LANES), lambda i, c: (0, i, 0))
+        ospec = pl.BlockSpec((1, n, size, LANES), lambda i, c: (i, 0, 0, 0))
+        const_spec = pl.BlockSpec((n, 1, LANES), lambda i, c: (0, 0, 0))
+        in_specs = [wspec, wsumspec, xspec]
+        args = [w_s8, w_sum_b, x_s8]
+        if has_tw:
+            in_specs.append(pl.BlockSpec((1, n, size, LANES), lambda i, c: (i, 0, 0, 0)))
+            args.append(tw4)
+        in_specs += [const_spec, const_spec]
+        args += [jnp.asarray(p_arr), jnp.asarray(pinv_arr)]
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((m_tiles, n, size, LANES), jnp.uint32),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=ospec,
+            scratch_shapes=[
+                pltpu.VMEM((2 * n + 1, size, LANES), jnp.uint32),
+                pltpu.VMEM((2 * n + 1, size, LANES), jnp.uint32),
+                pltpu.VMEM((8, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def pallas_dft_reduce(field: Field, w_s8, w_sum_b, x_s8, chain, tw4=None,
+                      interpret: bool = False):
+    """Fused radix-`size` DFT matmul + wide Montgomery reduction
+    (+ optional twiddle). See _dft_reduce_kernel."""
+    size = w_s8.shape[1]
+    return _dft_reduce_call(field, chain, size, tw4 is not None, interpret)(
+        w_s8, w_sum_b, x_s8, tw4
+    )

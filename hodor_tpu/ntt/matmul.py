@@ -240,6 +240,58 @@ def _mont_reduce_wide(ops: LimbOps, cols, radix: int):
 # wide-reduce path in interpret mode so CPU tests can cover it
 _FORCE_PALLAS = None
 
+# EXPERIMENTAL fused dot+reduce kernel (pallas_dft_reduce): None = only
+# when HODOR_NTT_FUSED is set AND on real TPU; "interpret" forces the
+# interpret-mode kernel for CPU tests
+_FORCE_FUSED = None
+
+
+def _dft_matmul_fused(ops: LimbOps, x, size: int, inverse: bool, tw, interpret: bool):
+    """DFT + wide Montgomery reduce as ONE Pallas kernel: the s8 MXU dot
+    runs inside the kernel, so the (4n-1, S, M) int32 column intermediate
+    (252 B/element, ~4x the data) never round-trips HBM. Bit-exact with
+    the two-step path (tests/test_pallas.py)."""
+    from ..field.pallas_kernels import LANES, pallas_dft_reduce
+
+    field = ops.field
+    L = ops.n16
+    P = 2 * L
+    SP = size * P
+    C = 2 * P - 1
+    lead = x.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    w_s8_np, w_sum_np, _ = _dft_matrix_folded_s8(field, size, inverse)
+    w_s8 = jnp.asarray(np.ascontiguousarray(w_s8_np.reshape(C, size, SP)))
+    w_sum_b = jnp.broadcast_to(
+        jnp.asarray(w_sum_np)[:, :, None], (C, size, LANES)
+    ).astype(jnp.int32)
+
+    lo = (x & jnp.uint32(0xFF)).astype(jnp.int32)
+    hi = ((x >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+    xb = jnp.stack([lo, hi], axis=-1).reshape(x.shape[:-1] + (P,))  # (..., S, P)
+    xb = jnp.moveaxis(xb.reshape((m, size, P)), 1, 0)  # (S, M, P)
+    x_s8 = (
+        (jnp.swapaxes(xb, 1, 2).reshape(SP, m) - 128)
+        .astype(jnp.int8)
+        .reshape(SP, m // LANES, LANES)
+    )
+
+    tw4 = None
+    if tw is not None:
+        twf = jnp.broadcast_to(tw, lead + (size, L)).reshape(m, size, L)
+        tw4 = jnp.transpose(
+            twf.reshape(m // LANES, LANES, size, L), (0, 3, 2, 1)
+        )  # (m_tiles, L, S, LANES)
+
+    chain = tuple(
+        tuple(int(v) for v in mult) for mult in _reduction_chain(field, size)
+    )
+    out = pallas_dft_reduce(
+        field, w_s8, w_sum_b, x_s8, chain, tw4, interpret=interpret
+    )  # (m_tiles, L, S, LANES)
+    o = jnp.transpose(out, (2, 0, 3, 1)).reshape(size, m, L)  # (S, M, L)
+    return jnp.moveaxis(o, 0, 1).reshape(lead + (size, L))
+
 
 def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
     """Batched size-point DFT over axis -2 via ONE fused s8 MXU matmul.
@@ -265,6 +317,22 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
     P = 2 * L
     lead = x.shape[:-2]
     m = int(np.prod(lead)) if lead else 1
+
+    import os
+
+    from ..field.limbs import _pallas_enabled as _pe
+    from ..field.pallas_kernels import LANES as _LANES
+
+    use_fused = _FORCE_FUSED == "interpret" or (
+        _FORCE_FUSED is None
+        and os.environ.get("HODOR_NTT_FUSED")
+        and _pe()
+    )
+    if use_fused and size == 128 and m % _LANES == 0 and m >= _LANES:
+        return _dft_matmul_fused(
+            ops, x, size, inverse, tw, interpret=_FORCE_FUSED == "interpret"
+        )
+
     w_s8, w_sum, _cnt = _dft_matrix_folded_s8(field, size, inverse)
     w_s8 = jnp.asarray(w_s8)  # (C, S, S, P) int8
     w_sum = jnp.asarray(w_sum)  # (C, S) int32

@@ -182,6 +182,10 @@ if __name__ == "__main__":
         _time_ntt(int(sys.argv[2]), "pease")
     elif cmd == "kernels":
         cmd_kernels()
+    elif cmd == "fused":
+        # EXPERIMENTAL single-kernel dot+reduce path (pallas_dft_reduce)
+        os.environ["HODOR_NTT_FUSED"] = "1"
+        _time_ntt(int(sys.argv[2]), "matmul")
     elif cmd == "profile":
         cmd_profile(int(sys.argv[2]))
     elif cmd == "all":

@@ -20,4 +20,8 @@ BENCH_MODE=prove BENCH_LOG_ROWS=16 timeout 7200 python bench.py
 # fallbacks: jnp-only reduce path (no pallas) and the Pease kernel
 HODOR_DISABLE_PALLAS=1 BENCH_LOG_N=16 timeout 2400 python bench.py
 timeout 2400 python scripts/tpu_bench.py pease 16
+# experimental single-kernel dot+reduce (last: must not cost the main
+# numbers anything if the Mosaic compile hangs)
+timeout 2400 python scripts/tpu_bench.py fused 16
+timeout 2400 python scripts/tpu_bench.py fused 20
 echo "=== tpu_run2 done ==="

@@ -162,3 +162,41 @@ def test_pallas_fri_fold_matches_jnp(field):
             assert (ref == got).all(), stride
     finally:
         fr._FORCE_PALLAS = old
+
+
+def test_pallas_fused_dft_reduce_matches_two_step():
+    """EXPERIMENTAL fused dot+reduce kernel (pallas_dft_reduce via
+    _dft_matmul_fused): the in-kernel MXU dot + incremental column fold
+    + Montgomery epilogue (+ fused twiddle) must be bit-exact with the
+    two-step XLA-dot + wide-reduce path, with and without twiddles."""
+    import jax
+    import jax.numpy as jnp
+
+    from hodor_tpu.field import F_STARK, ops_for
+    from hodor_tpu.ntt import matmul as mm
+
+    field = F_STARK
+    ops = ops_for(field)
+    rng = np.random.default_rng(17)
+    # batch 128 rows of size-128 DFT -> m = 128 = one lane tile
+    limbs = rng.integers(0, 1 << 16, size=(128, 128, ops.n16), dtype=np.uint32)
+    limbs[..., -1] &= 0x7FF
+    x = jnp.asarray(limbs)
+    tw_limbs = rng.integers(0, 1 << 16, size=(128, 128, ops.n16), dtype=np.uint32)
+    tw_limbs[..., -1] &= 0x7FF
+    tw = jnp.asarray(tw_limbs)
+
+    old = mm._FORCE_FUSED
+    try:
+        mm._FORCE_FUSED = False
+        ref_plain = np.asarray(mm._dft_matmul(ops, x, 128, False))
+        ref_tw = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
+        mm._FORCE_FUSED = "interpret"
+        jax.clear_caches()
+        fused_plain = np.asarray(mm._dft_matmul(ops, x, 128, False))
+        fused_tw = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
+    finally:
+        mm._FORCE_FUSED = old
+        jax.clear_caches()
+    assert (ref_plain == fused_plain).all()
+    assert (ref_tw == fused_tw).all()
