@@ -24,4 +24,6 @@ timeout 2400 python scripts/tpu_bench.py pease 16
 # numbers anything if the Mosaic compile hangs)
 timeout 2400 python scripts/tpu_bench.py fused 16
 timeout 2400 python scripts/tpu_bench.py fused 20
+# the reference's run_on_stable.sh headline workload (cubic VDF)
+BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=14 timeout 7200 python bench.py
 echo "=== tpu_run2 done ==="
