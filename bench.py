@@ -32,15 +32,56 @@ jax.config.update(
     os.environ.get("HODOR_BENCH_CACHE", os.path.expanduser("~/.cache/jax_hodor_tpu")),
 )
 
-# the axon TPU pool can be UNAVAILABLE for long stretches (observed
-# round 2: >7 h); rather than crashing with no record, fall back to the
-# CPU backend and say so in the metric name so the number is never
-# mistaken for a chip measurement
+# The axon TPU pool can be UNAVAILABLE for long stretches (observed
+# round 2: >7 h, which turned BENCH_r02 into a cpufallback_ number).
+# Probe for the chip in SUBPROCESSES with backoff for a bounded window
+# (BENCH_TPU_WAIT_S, default 45 min) before giving up: a failed init is
+# cached by xla_bridge for the life of the process, so in-process retry
+# is impossible, and one probe attempt can itself block ~27 min inside
+# the tunnel. Fall back to CPU only after the window, and say so in the
+# metric name so the number is never mistaken for a chip measurement.
+
+
+def _tpu_available(wait_s: float) -> bool:
+    import subprocess
+
+    deadline = time.time() + wait_s
+    first = True
+    while first or time.time() < deadline:
+        first = False
+        t0 = time.time()
+        remaining = deadline - time.time()
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=max(min(remaining, 1800.0), 60.0),
+                capture_output=True,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        if time.time() >= deadline:
+            return False
+        print(
+            f"# TPU probe failed after {time.time()-t0:.0f}s; "
+            f"{deadline-time.time():.0f}s left in wait window",
+            file=sys.stderr,
+        )
+        time.sleep(max(0.0, 120.0 - (time.time() - t0)))
+    return False
+
+
 _PLATFORM_TAG = ""
-try:
-    jax.devices()
-except RuntimeError as e:
-    print(f"# TPU backend unavailable ({e}); falling back to CPU", file=sys.stderr)
+if _tpu_available(float(os.environ.get("BENCH_TPU_WAIT_S", "2700"))):
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        print(f"# TPU init failed after a good probe ({e}); CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        _PLATFORM_TAG = "cpufallback_"
+else:
+    print("# TPU backend unavailable for the whole wait window; CPU", file=sys.stderr)
     jax.config.update("jax_platforms", "cpu")
     _PLATFORM_TAG = "cpufallback_"
 
@@ -51,6 +92,13 @@ from hodor_tpu.ntt import ntt
 from hodor_tpu.ntt.matmul import ntt_matmul
 
 BASELINE_MULS_PER_S = 6.4e8
+
+# Per-chip speed-of-light for the limb NTT (BASELINE.md §"Speed-of-light
+# model": HBM passes and int8 MXU work balance near 50-100 us for the
+# 2^16 transform -> ~4e10 field-muls/s at the (N/2)log2N accounting).
+# NTT vs_baseline reports fraction-of-SOL — the honest hardware
+# yardstick; the 6.4e8 multicore-CPU estimate is printed secondary.
+SOL_MULS_PER_S = 4e10
 
 FIELDS = {"F_STARK": F_STARK, "F_BLS": F_BLS, "F257": F257}
 
@@ -148,7 +196,8 @@ def main():
     value = muls / dt
     print(
         f"# ntt 2^{log_n} over {field.name}: {dt*1e3:.1f} ms/transform, "
-        f"{value:.3e} field-muls/s",
+        f"{value:.3e} field-muls/s "
+        f"({value/SOL_MULS_PER_S:.4f}x SOL, {value/BASELINE_MULS_PER_S:.2f}x CPU-est)",
         file=sys.stderr,
     )
     print(
@@ -157,7 +206,7 @@ def main():
                 "metric": f"{_PLATFORM_TAG}ntt_2^{log_n}_{field.name}_field_muls_per_s_per_chip",
                 "value": value,
                 "unit": "field_muls/s",
-                "vs_baseline": value / BASELINE_MULS_PER_S,
+                "vs_baseline": value / SOL_MULS_PER_S,
             }
         )
     )

@@ -28,14 +28,40 @@ from .field import Field
 MASK16 = jnp.uint32(0xFFFF)
 
 
-@lru_cache(maxsize=1)
-def _pallas_enabled() -> bool:
+@lru_cache(maxsize=None)
+def _pallas_enabled(kernel: str | None = None) -> bool:
     """Pallas kernels only make sense on real TPU backends (interpret
-    mode on CPU is slow); HODOR_DISABLE_PALLAS=1 overrides."""
+    mode on CPU is slow). Gates, in priority order:
+
+      HODOR_DISABLE_PALLAS=1            kill-switch for ALL kernels
+      HODOR_DISABLE_PALLAS_<KERNEL>=1   kill-switch for one kernel
+      HODOR_PALLAS_QUAL=<path>          JSON {kernel: bool} written by
+                                        scripts/tpu_qualify.py; a kernel
+                                        marked false (failed/hung the
+                                        real Mosaic compile or produced
+                                        wrong bits) is disabled so one
+                                        bad compile degrades to the jnp
+                                        path instead of killing a prove
+
+    Kernel names: mul, addsub, wide_reduce, blake2s, fri_fold,
+    dft_reduce."""
+    import json
     import os
 
     if os.environ.get("HODOR_DISABLE_PALLAS") == "1":
         return False
+    if kernel is not None:
+        if os.environ.get(f"HODOR_DISABLE_PALLAS_{kernel.upper()}") == "1":
+            return False
+        qual_path = os.environ.get("HODOR_PALLAS_QUAL")
+        if qual_path:
+            try:
+                with open(qual_path) as f:
+                    table = json.load(f)
+                if table.get(kernel) is not True:
+                    return False
+            except (OSError, ValueError):
+                pass
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:
@@ -262,7 +288,7 @@ class LimbOps:
 
     def add(self, a, b, allow_pallas: bool = True):
         a, b = jnp.broadcast_arrays(a, b)
-        if allow_pallas and _pallas_enabled():
+        if allow_pallas and _pallas_enabled("addsub"):
             from .pallas_kernels import pallas_addsub, pallas_ok
 
             if pallas_ok(a.shape, self.n16):
@@ -271,7 +297,7 @@ class LimbOps:
 
     def sub(self, a, b, allow_pallas: bool = True):
         a, b = jnp.broadcast_arrays(a, b)
-        if allow_pallas and _pallas_enabled():
+        if allow_pallas and _pallas_enabled("addsub"):
             from .pallas_kernels import pallas_addsub, pallas_ok
 
             if pallas_ok(a.shape, self.n16):
@@ -305,7 +331,7 @@ class LimbOps:
         critical path of every field multiply.
         """
         a, b = jnp.broadcast_arrays(a, b)
-        if allow_pallas and _pallas_enabled():
+        if allow_pallas and _pallas_enabled("mul"):
             from .pallas_kernels import pallas_mont_mul_v2, pallas_ok
 
             if pallas_ok(a.shape, self.n16):

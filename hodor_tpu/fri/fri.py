@@ -94,7 +94,7 @@ def _fold_round_body(ops: LimbOps, values, challenge_limbs, stride: int, omegas_
     from ..field.limbs import _pallas_enabled
 
     use_pallas = _FORCE_PALLAS == "interpret" or (
-        _FORCE_PALLAS is None and _pallas_enabled()
+        _FORCE_PALLAS is None and _pallas_enabled("fri_fold")
     )
     if use_pallas and (half * 1) % 4096 == 0 and half > 0:
         from ..field.pallas_kernels import pallas_fri_fold

@@ -154,7 +154,7 @@ def hash_block(m_words, message_bytes: int):
     for s in m_words.shape[:-1]:
         total *= int(s)
     use_pallas = _FORCE_PALLAS == "interpret" or (
-        _FORCE_PALLAS is None and _pallas_enabled()
+        _FORCE_PALLAS is None and _pallas_enabled("blake2s")
     )
     if use_pallas and total % 4096 == 0 and total > 0:
         from ..field.pallas_kernels import pallas_blake2s

@@ -326,7 +326,7 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
     use_fused = _FORCE_FUSED == "interpret" or (
         _FORCE_FUSED is None
         and os.environ.get("HODOR_NTT_FUSED")
-        and _pe()
+        and _pe("dft_reduce")
     )
     if use_fused and size == 128 and m % _LANES == 0 and m >= _LANES:
         return _dft_matmul_fused(
@@ -362,7 +362,7 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
     from ..field.pallas_kernels import LANES, pallas_wide_reduce, wide_reduce_ok
 
     use_pallas = _FORCE_PALLAS == "interpret" or (
-        _FORCE_PALLAS is None and _pallas_enabled()
+        _FORCE_PALLAS is None and _pallas_enabled("wide_reduce")
     )
     if use_pallas and wide_reduce_ok(total):
         chain = tuple(

@@ -109,6 +109,7 @@ def test_density_boundary_bounds_checked():
         ARPInstance.is_satisfied(props, witness)
 
 
+@pytest.mark.slow
 def test_density_prove_verify_roundtrip():
     # F_STARK: in a 257-element field mask*z falls inside the LDE domain
     # with probability n/256 and DEEP (correctly) refuses to divide
@@ -118,6 +119,7 @@ def test_density_prove_verify_roundtrip():
     assert Verifier(props, lde_factor=8).verify(proof)
 
 
+@pytest.mark.slow
 def test_density_soundness():
     witness, props = _instance(F_STARK)
     witness[0][4] = (witness[0][4] + 1) % F_STARK.p

@@ -73,6 +73,7 @@ def test_six_register_satisfied():
     ARPInstance.is_satisfied(props, witness)
 
 
+@pytest.mark.slow
 def test_six_register_prove_verify():
     witness, props = _instance()
     prover = Prover(props.clone(), lde_factor=8, fri_final_degree_plus_one=1)
@@ -81,6 +82,7 @@ def test_six_register_prove_verify():
     assert Verifier(props, lde_factor=8).verify(proof)
 
 
+@pytest.mark.slow
 def test_six_register_soundness():
     witness, props = _instance()
     witness[3][4] = (witness[3][4] + 1) % F_STARK.p

@@ -56,6 +56,7 @@ def test_four_step_ntt_matches_single(mesh8):
     assert list(single) == list(stepped)
 
 
+@pytest.mark.slow
 def test_mesh_prove_byte_identical(mesh8):
     """A full prove on the 8-device mesh must serialize to the SAME
     bytes as the single-device proof (sharding is a layout choice, not a
