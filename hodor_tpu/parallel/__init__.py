@@ -46,19 +46,35 @@ def sharded_lde(ops: LimbOps, coeffs, factor: int, mesh: Mesh, coset: bool = Fal
     """LDE with the coset axis sharded over the mesh.
 
     coeffs: (..., T, L) replicated. Returns (..., T*factor, L) sharded on
-    the blown-up axis. Inside jit, annotate with lax.with_sharding_constraint;
-    eagerly, shard explicitly.
+    the blown-up axis.
+
+    The per-coset work (coset shift + NTT) runs under `shard_map`, NOT a
+    sharding annotation: the matmul NTT reshapes the coset axis into a
+    flattened batch dim, which GSPMD cannot propagate a sharding through
+    — the annotation-only form compiled to an ALL-GATHER of the shifted
+    operand followed by fully replicated NTTs on every device (found by
+    HLO inspection, tests/test_distributed.py). shard_map pins each
+    device to its own factor/n_devices cosets with zero communication;
+    the single all-to-all is the natural-order interleave implied by the
+    output sharding constraint.
     """
     t = coeffs.shape[-2]
     L = coeffs.shape[-1]
     gens = _coset_generators(ops, t, factor, coset)  # (factor, L)
     pw = jax.vmap(lambda g: ops.powers(g, t))(gens)  # (factor, T, L)
-    shifted = ops.mul(coeffs[..., None, :, :], pw)  # (..., factor, T, L)
-    # shard the coset axis: every device NTTs its own cosets (no comms)
-    shifted = jax.lax.with_sharding_constraint(
-        shifted, NamedSharding(mesh, P(*([None] * (shifted.ndim - 3)), axis, None, None))
-    )
-    evals = ntt(ops, shifted)  # (..., factor, T, L) still coset-sharded
+
+    def _local_cosets(coeffs_rep, pw_local):
+        # pw_local: (factor/n, T, L) — this device's coset shifts
+        shifted = ops.mul(coeffs_rep[..., None, :, :], pw_local)
+        return ntt(ops, shifted)  # (..., factor/n, T, L)
+
+    n_lead = coeffs.ndim - 2
+    evals = jax.shard_map(
+        _local_cosets,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None, None)),
+        out_specs=P(*([None] * n_lead), axis, None, None),
+    )(coeffs, pw)  # (..., factor, T, L) coset-sharded
     evals = jnp.swapaxes(evals, -3, -2)  # (..., T, factor, L)
     out = evals.reshape(evals.shape[:-3] + (t * factor, L))
     # natural-order output sharded on the big axis: XLA inserts the
