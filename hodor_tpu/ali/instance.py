@@ -74,12 +74,15 @@ def _density_key(d) -> Tuple:
 class ALIInstance:
     """Precomputed ALI state + the two prover stages (G, DEEP)."""
 
-    def __init__(self, arp: ARPInstance):
+    def __init__(self, arp: ARPInstance, mesh=None):
         props = arp.properties
         self.properties = props
         self.field: Field = props.field
         self.ops: LimbOps = ops_for(self.field)
         ops = self.ops
+        # device mesh for a distributed calculate_g (term coset-LDEs and
+        # the D-sized icoset iNTT run as sharded four-step transforms)
+        self.mesh = mesh
 
         self.max_constraint_power = max((c.degree for c in props.constraints), default=1)
         self.column_domain = Domain.new_for_size(self.field, props.num_rows)
@@ -356,7 +359,7 @@ class ALIInstance:
         # 2. batched coset-LDE of every distinct (mask, power) term
         #    (the memoized evaluate_univariate_term_into_values, :356-421)
         bases = jnp.stack([masked[mi] for (mi, _pw) in self.term_ldes], axis=0)
-        base_ldes = lde(ops, bases, power_hint, coset=True)  # (K, D, L)
+        base_ldes = self._coset_lde(bases, power_hint)  # (K, D, L)
         term_vals = []
         for k, (mi, pw) in enumerate(self.term_ldes):
             term_vals.append(ops.pow_static(base_ldes[k], pw))
@@ -424,7 +427,7 @@ class ALIInstance:
             wstack = jnp.stack([witness_coeffs[bc.register.index] for bc in bcs])
             bvals = ops.encode([bc.value % field.p for bc in bcs])  # (B, L)
             wstack = wstack.at[:, 0].set(ops.sub(wstack[:, 0], bvals))
-            cvals = lde(ops, wstack, power_hint, coset=True)  # (B, D, L)
+            cvals = self._coset_lde(wstack, power_hint)  # (B, D, L)
             adjustment = self.max_constraint_power - 1
             if adjustment == 0:
                 cvals = ops.mul(cvals, b_alphas[:, None, :])
@@ -440,8 +443,28 @@ class ALIInstance:
             cvals = ops.mul(cvals, bdiv)
             g_values = ops.add(g_values, ops.sum_reduce(cvals, axis=0))
 
-        # G interpolant (:526)
+        # G interpolant (:526) — under a mesh the D-sized iNTT (the
+        # largest single transform in the prove) runs as a row-sharded
+        # four-step (parallel.sharded_icoset_ntt)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 0
+        if self.mesh is not None and d_size % n_dev == 0 and d_size >= 2 * n_dev:
+            from ..parallel import sharded_icoset_ntt
+
+            return sharded_icoset_ntt(ops, g_values, self.mesh)
         return icoset_ntt(ops, g_values)
+
+    def _coset_lde(self, coeffs, factor: int):
+        """Coset-LDE used for term evaluation; distributed when a mesh
+        is set. The blow-up factor here is max_constraint_power (2-3),
+        usually smaller than the mesh, so the distribution is per-NTT
+        (row-sharded four-step) rather than per-coset."""
+        t = coeffs.shape[-2]
+        n_dev = self.mesh.devices.size if self.mesh is not None else 0
+        if self.mesh is None or t % n_dev != 0 or t < 2 * n_dev:
+            return lde(self.ops, coeffs, factor, coset=True)
+        from ..parallel import sharded_coset_lde_rows
+
+        return sharded_coset_lde_rows(self.ops, coeffs, factor, self.mesh)
 
     # ---------------------------------------------------------------- DEEP
 

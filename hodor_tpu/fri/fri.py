@@ -79,6 +79,12 @@ class FRIProof:
 _FORCE_PALLAS = None
 
 
+# jnp-path fold chunking (see _fold_round_body): slice size and the
+# minimum half-size at which slicing engages
+_FOLD_CHUNK = 1 << 18
+_FOLD_CHUNK_MIN = 1 << 21
+
+
 def _fold_round_body(ops: LimbOps, values, challenge_limbs, stride: int, omegas_inv):
     """One FRI fold (src/fri/fri_on_values.rs:70-105). values: (K, L).
 
@@ -104,17 +110,44 @@ def _fold_round_body(ops: LimbOps, values, challenge_limbs, stride: int, omegas_
             ops.field, lo, hi, w, c_scaled, ops.two_inv_m,
             interpret=_FORCE_PALLAS == "interpret",
         )
-    v_even = ops.add(lo, hi)
-    v_odd = ops.mul(ops.sub(lo, hi), w)
-    folded = ops.mul(ops.add(v_even, ops.mul(v_odd, challenge_limbs)), ops.two_inv_m)
-    return folded
+    def _elementwise(args):
+        lo_c, hi_c, w_c = args
+        v_even = ops.add(lo_c, hi_c)
+        v_odd = ops.mul(ops.sub(lo_c, hi_c), w_c)
+        return ops.mul(
+            ops.add(v_even, ops.mul(v_odd, challenge_limbs)), ops.two_inv_m
+        )
+
+    # Above _FOLD_CHUNK_MIN rows, run the mul chain in sequential row
+    # slices (lax.map): the limb-convolution graph keeps several (N,
+    # wide)-shaped intermediates live at once — measured 8.6 GiB temp
+    # for a 2^22 fold on the jnp path (BASELINE.md §memory) — and
+    # chunking caps that at one slice's worth. Protocol-invisible.
+    if half >= _FOLD_CHUNK_MIN and half % _FOLD_CHUNK == 0:
+        s = half // _FOLD_CHUNK
+        L = values.shape[-1]
+        shape = (s, _FOLD_CHUNK, L)
+        return jax.lax.map(
+            _elementwise,
+            (lo.reshape(shape), hi.reshape(shape), w.reshape(shape)),
+        ).reshape(half, L)
+    return _elementwise((lo, hi, w))
 
 
 _fold_round = partial(jax.jit, static_argnums=(0, 3))(_fold_round_body)
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _fri_chain(ops: LimbOps, lde_values, num_steps: int, omegas_inv):
+def _maybe_drop_tree(values, leaf_hashes, levels, drop_min: int):
+    """Keep the full tree only below the drop threshold; above it the
+    build outputs just the root so the levels are program temporaries
+    (HBM budget for configs[3]; merkle.tree.tree_drop_min)."""
+    if values.shape[0] >= drop_min:
+        return ()
+    return (leaf_hashes, tuple(levels))
+
+
+@partial(jax.jit, static_argnums=(0, 2, 4))
+def _fri_chain(ops: LimbOps, lde_values, num_steps: int, omegas_inv, drop_min: int = 1 << 62):
     """The ENTIRE FRI prover ladder as one device program: commit l0,
     then per round fold -> leaf hash -> all tree levels -> root ->
     next challenge, with the root->field challenge derivation done ON
@@ -133,7 +166,7 @@ def _fri_chain(ops: LimbOps, lde_values, num_steps: int, omegas_inv):
     roots = []
     values = lde_values
     leaf_hashes, levels = _build_levels(values)
-    trees.append((leaf_hashes, tuple(levels)))
+    trees.append(_maybe_drop_tree(values, leaf_hashes, levels, drop_min))
     roots.append(levels[-1][0])
     challenge = digest_to_challenge_mont(ops, levels[-1][0])
 
@@ -141,7 +174,7 @@ def _fri_chain(ops: LimbOps, lde_values, num_steps: int, omegas_inv):
     for i in range(num_steps):
         folded = _fold_round_body(ops, values, challenge, 1 << i, omegas_inv)
         lh, lv = _build_levels(folded)
-        trees.append((lh, tuple(lv)))
+        trees.append(_maybe_drop_tree(folded, lh, lv, drop_min))
         roots.append(lv[-1][0])
         challenge = digest_to_challenge_mont(ops, lv[-1][0])
         intermediate.append(folded)
@@ -151,8 +184,53 @@ def _fri_chain(ops: LimbOps, lde_values, num_steps: int, omegas_inv):
     return tuple(trees), jnp.stack(roots), tuple(intermediate), final_coeffs
 
 
-@partial(jax.jit, static_argnums=(0, 2, 5))
-def _fri_chain_pair(ops, lde1, steps1, om1, lde2, steps2, om2):
+def _fri_chain_eager(ops: LimbOps, lde_values, num_steps: int, omegas_inv,
+                     drop_min: int):
+    """OOM escape hatch (HODOR_FRI_EAGER=1): the same ladder as
+    _fri_chain but one jitted program PER ROUND, so XLA's temp buffer
+    assignment never spans the whole ladder — live HBM is capped at one
+    round's fold + tree build. Costs one dispatch per round (~30 ms each
+    over the axon tunnel) and per-shape compiles on first use; identical
+    outputs, same pytree as _fri_chain."""
+    from ..merkle.blake2s import digest_to_challenge_mont
+    from ..merkle.tree import _build_levels
+
+    @jax.jit
+    def _commit(v):
+        lh, lv = _build_levels(v)
+        return lh, tuple(lv), digest_to_challenge_mont(ops, lv[-1][0])
+
+    @partial(jax.jit, static_argnums=(2,))
+    def _fold(v, ch, stride):
+        return _fold_round_body(ops, v, ch, stride, omegas_inv)
+
+    def _keep(v, lh, lv):
+        return () if v.shape[0] >= drop_min else (lh, tuple(lv))
+
+    trees, roots, intermediate = [], [], []
+    values = lde_values
+    lh, lv, challenge = _commit(values)
+    trees.append(_keep(values, lh, lv))
+    roots.append(lv[-1][0])
+    for i in range(num_steps):
+        folded = _fold(values, challenge, 1 << i)
+        lh, lv, challenge = _commit(folded)
+        trees.append(_keep(folded, lh, lv))
+        roots.append(lv[-1][0])
+        intermediate.append(folded)
+        values = folded
+    final_coeffs = jax.jit(lambda v: intt(ops, v))(values)
+    return tuple(trees), jnp.stack(roots), tuple(intermediate), final_coeffs
+
+
+def _eager_mode() -> bool:
+    import os
+
+    return os.environ.get("HODOR_FRI_EAGER", "0") == "1"
+
+
+@partial(jax.jit, static_argnums=(0, 2, 5, 7))
+def _fri_chain_pair(ops, lde1, steps1, om1, lde2, steps2, om2, drop_min: int = 1 << 62):
     """Both FRI ladders (h1 and h2) in ONE device program. The chains
     are data-independent (each round's fold challenge derives from its
     own Merkle root on device, never the shared transcript -
@@ -160,8 +238,8 @@ def _fri_chain_pair(ops, lde1, steps1, om1, lde2, steps2, om2):
     the prover pays one dispatch + one stacked host fetch instead of
     two of each."""
     return (
-        _fri_chain.__wrapped__(ops, lde1, steps1, om1),
-        _fri_chain.__wrapped__(ops, lde2, steps2, om2),
+        _fri_chain.__wrapped__(ops, lde1, steps1, om1, drop_min),
+        _fri_chain.__wrapped__(ops, lde2, steps2, om2, drop_min),
     )
 
 
@@ -173,8 +251,17 @@ def _gather_chain_queries(chain_data, idx_arrays):
     (leaf_hashes, levels_tuple, committed_values); idx_arrays: list of
     (Q,) int32 tree indices per round. Returns per round
     (values (Q, L), sibling digests (depth, Q, 8))."""
+    from ..merkle.tree import _build_levels
+
     out = []
     for (lh, levels, vals), idx in zip(chain_data, idx_arrays):
+        if lh is None:
+            # DROPPED tree (merkle.tree.tree_drop_min): rebuild from the
+            # committed values inside this program — the level arrays are
+            # temporaries, live only for their own gather, so peak HBM is
+            # one tree at a time instead of every tree resident
+            lh, levels = _build_levels(vals)
+            levels = tuple(levels)
         v = jnp.take(vals, idx, axis=0)
         sibs = [jnp.take(lh, idx ^ 1, axis=0)]
         cur = idx >> 1
@@ -221,8 +308,11 @@ class NaiveFriIop:
         initial_degree_plus_one = n // lde_factor
         num_steps = log2_floor(initial_degree_plus_one // output_coeffs_at_degree_plus_one)
 
-        trees, roots_dev, intermediate_values, final_coeffs_dev = _fri_chain(
-            ops, lde_values, num_steps, omegas_inv
+        from ..merkle.tree import tree_drop_min
+
+        chain = _fri_chain_eager if _eager_mode() else _fri_chain
+        trees, roots_dev, intermediate_values, final_coeffs_dev = chain(
+            ops, lde_values, num_steps, omegas_inv, tree_drop_min()
         )
         roots_np, coeffs_np = jax.device_get((roots_dev, final_coeffs_dev))
         return NaiveFriIop._assemble_prototype(
@@ -249,9 +339,19 @@ class NaiveFriIop:
         steps = tuple(
             log2_floor(d // output_coeffs_at_degree_plus_one) for d in idpos
         )
-        (trees1, roots1, inter1, fc1), (trees2, roots2, inter2, fc2) = _fri_chain_pair(
-            ops, lde1, steps[0], oms[0], lde2, steps[1], oms[1]
-        )
+        from ..merkle.tree import tree_drop_min
+
+        if _eager_mode():
+            (trees1, roots1, inter1, fc1) = _fri_chain_eager(
+                ops, lde1, steps[0], oms[0], tree_drop_min()
+            )
+            (trees2, roots2, inter2, fc2) = _fri_chain_eager(
+                ops, lde2, steps[1], oms[1], tree_drop_min()
+            )
+        else:
+            (trees1, roots1, inter1, fc1), (trees2, roots2, inter2, fc2) = _fri_chain_pair(
+                ops, lde1, steps[0], oms[0], lde2, steps[1], oms[1], tree_drop_min()
+            )
         r1, c1, r2, c2 = jax.device_get((roots1, fc1, roots2, fc2))  # ONE sync
         protos = []
         for trees, roots_np, inter, coeffs_np, idpo in (
@@ -275,10 +375,16 @@ class NaiveFriIop:
         """Host-side prototype assembly from fetched chain outputs."""
         root_bytes = [digest_to_bytes(r) for r in roots_np]
 
-        l0 = MerkleTree(trees[0][0], list(trees[0][1]), field, root_bytes=root_bytes[0])
+        def mk(tree, rb, size):
+            if len(tree) == 0:  # dropped above tree_drop_min: root only
+                return MerkleTree(None, None, field, root_bytes=rb, size=size)
+            return MerkleTree(tree[0], list(tree[1]), field, root_bytes=rb)
+
+        n0 = initial_degree_plus_one * lde_factor
+        l0 = mk(trees[0], root_bytes[0], n0)
         intermediate_commitments = [
-            MerkleTree(lh, list(lv), field, root_bytes=rb)
-            for (lh, lv), rb in zip(trees[1:], root_bytes[1:])
+            mk(tree, rb, n0 >> (i + 1))
+            for i, (tree, rb) in enumerate(zip(trees[1:], root_bytes[1:]))
         ]
         # all tree challenges except the last tree's (the final fold draws
         # none, fri_on_values.rs:122); num_steps == 0 leaves it empty
@@ -371,7 +477,10 @@ class NaiveFriIop:
         for tree, vals in zip(trees, values):
             coset = coset_for_natural_index_and_size(domain_idx, domain_size)
             cosets.append(coset)
-            chain_data.append((tree.leaf_hashes, tuple(tree.levels), vals))
+            chain_data.append(
+                (None, None, vals) if tree.dropped
+                else (tree.leaf_hashes, tuple(tree.levels), vals)
+            )
             idx_arrays.append(jnp.asarray(np.asarray(coset, dtype=np.int32)))
             domain_idx, domain_size = index_and_size_for_next_domain(domain_idx, domain_size)
         return trees, cosets, chain_data, idx_arrays

@@ -29,6 +29,23 @@ from .blake2s import (
 )
 
 
+def tree_drop_min() -> int:
+    """Committed vectors with at least this many leaves keep only their
+    ROOT on device after the build program (the level arrays become XLA
+    temporaries); the fused query gather rebuilds them from the retained
+    values. Halves resident tree memory at configs[3] scale (h trees are
+    ~same bytes as their values) for one extra hashing pass over the
+    dropped trees at query time. Override with HODOR_TREE_DROP_MIN
+    (leaf count; 0 disables dropping entirely)."""
+    import os
+
+    v = os.environ.get("HODOR_TREE_DROP_MIN")
+    if v is None:
+        return 1 << 22
+    n = int(v)
+    return n if n > 0 else (1 << 62)
+
+
 @partial(jax.jit, static_argnums=())
 def _build_levels(leaf_limbs):
     """leaf_limbs (N, n16) -> (leaf_hashes (N,8), levels top..bottom list).
@@ -72,12 +89,21 @@ class MerkleTree:
     many trees) pass `root_bytes` up front so constructing a tree costs
     zero host round trips."""
 
-    def __init__(self, leaf_hashes, levels, field: Field, root_bytes: bytes = None):
+    def __init__(self, leaf_hashes, levels, field: Field, root_bytes: bytes = None,
+                 size: int = None):
         self.field = field
-        self.leaf_hashes = leaf_hashes  # (N, 8) uint32 device
-        self.levels = levels  # bottom-up internal levels
-        self.size = int(leaf_hashes.shape[0])
+        self.leaf_hashes = leaf_hashes  # (N, 8) uint32 device; None if DROPPED
+        self.levels = levels  # bottom-up internal levels; None if DROPPED
+        self.size = int(leaf_hashes.shape[0]) if leaf_hashes is not None else size
         self._root_bytes = root_bytes
+
+    @property
+    def dropped(self) -> bool:
+        """True when only the root was kept (HBM budget: committed
+        vectors >= tree_drop_min() output just the root from their build
+        program, so the level arrays are XLA temporaries, and the query
+        gather program rebuilds them from the committed values)."""
+        return self.leaf_hashes is None
 
     @staticmethod
     def create(leaf_limbs, field: Field) -> "MerkleTree":

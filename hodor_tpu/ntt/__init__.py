@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -223,8 +225,11 @@ def _coset_generators(ops: LimbOps, t: int, factor: int, coset: bool):
     return gens
 
 
-# batched-vs-sequential LDE switch, in u32 elements (see lde below)
-_LDE_SEQUENTIAL_MIN = 1 << 29
+# batched-vs-sequential LDE switch, in u32 elements (see lde below);
+# overridable per-run so the on-chip campaign can trade coset
+# parallelism for peak temp without a code edit (HODOR_LDE_SEQ_MIN is
+# the log2 of the element threshold)
+_LDE_SEQUENTIAL_MIN = 1 << int(os.environ.get("HODOR_LDE_SEQ_MIN", "29"))
 
 
 def lde(ops: LimbOps, coeffs, factor: int, coset: bool = False):

@@ -84,7 +84,8 @@ def sharded_lde(ops: LimbOps, coeffs, factor: int, mesh: Mesh, coset: bool = Fal
     )
 
 
-def four_step_ntt(ops: LimbOps, a, mesh: Mesh, axis: str = "shards"):
+def four_step_ntt(ops: LimbOps, a, mesh: Mesh, axis: str = "shards",
+                  inverse: bool = False):
     """Natural-order NTT of (N, L) via the four-step decomposition
     N = N1*N2 (N1 = mesh size), with the row axis sharded.
 
@@ -109,7 +110,7 @@ def four_step_ntt(ops: LimbOps, a, mesh: Mesh, axis: str = "shards"):
     A = jnp.swapaxes(A, 0, 1)  # (n2, n1, L): rows j2, cols j1
     A = jax.lax.with_sharding_constraint(A, NamedSharding(mesh, P(axis, None, None)))
     # step 1: N1-point NTTs along the j1 axis (local per row after sharding rows)
-    inner = ntt(ops, A)  # (n2, n1, L) -> indexed [j2, k1]
+    inner = ntt(ops, A, inverse=inverse)  # (n2, n1, L) -> indexed [j2, k1]
     # step 2: transpose so k1 is the leading (sharded) axis - this is
     # the all-to-all
     B = jnp.swapaxes(inner, 0, 1)  # (n1, n2, L) indexed [k1, j2]
@@ -119,17 +120,76 @@ def four_step_ntt(ops: LimbOps, a, mesh: Mesh, axis: str = "shards"):
     # (the old full-table form cost (N, L) replicated memory: 1 GiB at
     # 2^24, fatal for the 2^26-row multi-host target)
     with jax.ensure_compile_time_eval():
-        om = ops.const(domain.generator)
-    m = ops.powers(om, n2)  # (n2, L): w^j2
+        g = domain.generator
+        om = ops.const(ops.field.inv(g) if inverse else g)
+    m = ops.powers(om, n2)  # (n2, L): w^j2 (w^-j2 when inverse)
 
     def _tw_step(cur, _):
         return ops.mul(cur, m), cur
 
     ones = jnp.broadcast_to(ops.one_m, (n2, L))
     _, tw = jax.lax.scan(_tw_step, ones, None, length=n1)  # (n1, n2, L) [k1, j2]
-    outer = ntt(ops, ops.mul(B, tw))  # [k1, k2]
+    outer = ntt(ops, ops.mul(B, tw), inverse=inverse)  # [k1, k2]
     # natural order: out[k2*N1 + k1] = outer[k1, k2]
     out = jnp.swapaxes(outer, 0, 1).reshape(n, L)
     return jax.lax.with_sharding_constraint(
         out, NamedSharding(mesh, P(axis, None))
     )
+
+
+def four_step_intt(ops: LimbOps, a, mesh: Mesh, axis: str = "shards"):
+    """Sharded inverse NTT including the 1/N scale (the multi-chip
+    analog of ntt.intt / reference Polynomial::ifft,
+    src/polynomials/mod.rs:773-797)."""
+    n = a.shape[0]
+    out = four_step_ntt(ops, a, mesh, axis, inverse=True)
+    with jax.ensure_compile_time_eval():
+        minv = ops.const(ops.field.inv(n % ops.field.p))
+    return ops.mul(out, minv)
+
+
+def sharded_icoset_ntt(ops: LimbOps, a, mesh: Mesh, axis: str = "shards"):
+    """Sharded icoset_fft (src/polynomials/mod.rs:799-815): the G
+    interpolant's inverse transform — the single largest NTT in the
+    prove (D = T * max_constraint_power) — distributed four-step, then
+    the g^-i un-shift fused on the sharded output."""
+    from ..ntt import distribute_powers as _dp
+
+    coeffs = four_step_intt(ops, a, mesh, axis)
+    with jax.ensure_compile_time_eval():
+        geninv = ops.const(ops.field.inv(ops.field.generator))
+    return _dp(ops, coeffs, geninv)
+
+
+def sharded_coset_lde_rows(ops: LimbOps, coeffs, factor: int, mesh: Mesh,
+                           coset: bool = True, axis: str = "shards"):
+    """Coset-LDE for SMALL blow-up factors (factor < mesh size, where
+    sharded_lde's coset-axis split cannot use every device): each of the
+    `factor` T-point NTTs runs as a row-sharded four-step transform, so
+    compute and memory distribute for any factor. coeffs: (..., T, L)
+    with leading dims folded into a Python loop (they are small — the K
+    distinct ALI terms / B boundary constraints).
+
+    Output matches ntt.lde: natural order on the blown-up axis,
+    final[idx] = coset_results[idx % factor][idx // factor]
+    (src/polynomials/mod.rs:544-609)."""
+    t = coeffs.shape[-2]
+    L = coeffs.shape[-1]
+    gens = _coset_generators(ops, t, factor, coset)  # (factor, L)
+    lead = coeffs.shape[:-2]
+    flat = coeffs.reshape((-1, t, L))
+    outs = []
+    for b in range(flat.shape[0]):
+        per_coset = []
+        for i in range(factor):
+            shifted = distribute_powers(ops, flat[b], gens[i])
+            per_coset.append(four_step_ntt(ops, shifted, mesh, axis))
+        ev = jnp.stack(per_coset, axis=0)  # (factor, T, L)
+        ev = jnp.swapaxes(ev, 0, 1).reshape(t * factor, L)  # interleave
+        outs.append(
+            jax.lax.with_sharding_constraint(
+                ev, NamedSharding(mesh, P(axis, None))
+            )
+        )
+    out = jnp.stack(outs, axis=0).reshape(lead + (t * factor, L))
+    return out

@@ -75,7 +75,7 @@ class Prover:
         self.field = properties.field
         self.ops = ops_for(self.field)
         self.arp = ARPInstance.from_instance(properties)
-        self.ali = ALIInstance(self.arp)
+        self.ali = ALIInstance(self.arp, mesh=mesh)
         self.lde_factor = lde_factor
         self.fri_final_degree_plus_one = fri_final_degree_plus_one
         self.mesh = mesh
@@ -92,7 +92,8 @@ class Prover:
             # src/polynomials/mod.rs:418-482 over a Worker pool). The
             # round-2 version only ANNOTATED the replicated lde() output
             # and left GSPMD to guess (VERDICT round-2 item 3).
-            if self.mesh is None:
+            n_dev = self.mesh.devices.size if self.mesh is not None else 0
+            if self.mesh is None or lde_factor % n_dev != 0:
                 return lde(ops, coeffs, lde_factor)
             from .parallel import sharded_lde
 
@@ -111,6 +112,18 @@ class Prover:
                 x, NamedSharding(self.mesh, spec)
             )
 
+        from .merkle.tree import tree_drop_min
+
+        drop_min = tree_drop_min()
+
+        def _oracle(vals):
+            # above tree_drop_min only the ROOT leaves the program: the
+            # level arrays are XLA temporaries and the query gather
+            # rebuilds them from vals (HBM budget, BASELINE.md §memory)
+            lh, lv = _build_levels(_shard_rows(vals))
+            tree = () if vals.shape[0] >= drop_min else (lh, tuple(lv))
+            return tree, lv[-1][0]
+
         def stage1(witness_dev):
             # witness iNTT (src/prover/mod.rs:69) + f LDEs (:71-76) + all
             # register oracles (:78-80) in one program
@@ -119,16 +132,16 @@ class Prover:
             trees = []
             roots = []
             for r in range(num_registers):
-                lh, lv = _build_levels(_shard_rows(f_ldes[r]))
-                trees.append((lh, tuple(lv)))
-                roots.append(lv[-1][0])
+                tree, root = _oracle(f_ldes[r])
+                trees.append(tree)
+                roots.append(root)
             return coeffs, f_ldes, tuple(trees), jnp.stack(roots)
 
         def stage_g(g_poly):
             # G LDE + oracle (src/prover/mod.rs:91-95)
             g_lde_vals = _lde(g_poly)
-            lh, lv = _build_levels(_shard_rows(g_lde_vals))
-            return g_lde_vals, (lh, tuple(lv)), lv[-1][0]
+            tree, root = _oracle(g_lde_vals)
+            return g_lde_vals, tree, root
 
         self._stage1_fn = jax.jit(stage1)
         self._stage_g_fn = jax.jit(stage_g)
@@ -153,8 +166,10 @@ class Prover:
             f_roots = np.asarray(jax.device_get(f_roots_dev))  # SYNC: commit roots
         f_iop_roots = [digest_to_bytes(r) for r in f_roots]
         f_oracles = [
-            MerkleTree(lh, list(lv), field, root_bytes=rb)
-            for (lh, lv), rb in zip(f_trees, f_iop_roots)
+            MerkleTree(None, None, field, root_bytes=rb, size=f_ldes.shape[1])
+            if len(tree) == 0
+            else MerkleTree(tree[0], list(tree[1]), field, root_bytes=rb)
+            for tree, rb in zip(f_trees, f_iop_roots)
         ]
         for root in f_iop_roots:
             transcript.commit_bytes(root)
@@ -164,7 +179,12 @@ class Prover:
             g_poly = self.ali.calculate_g(transcript, witness_polys)  # (D, L)
             g_lde_vals, g_tree, g_root_dev = self._stage_g_fn(g_poly)
             g_iop_root = digest_to_bytes(jax.device_get(g_root_dev))  # SYNC
-        g_oracle = MerkleTree(g_tree[0], list(g_tree[1]), field, root_bytes=g_iop_root)
+        g_oracle = (
+            MerkleTree(None, None, field, root_bytes=g_iop_root,
+                       size=g_lde_vals.shape[0])
+            if len(g_tree) == 0
+            else MerkleTree(g_tree[0], list(g_tree[1]), field, root_bytes=g_iop_root)
+        )
         transcript.commit_bytes(g_iop_root)
 
         # 5. DEEP (src/prover/mod.rs:99-106)
@@ -207,10 +227,16 @@ class Prover:
             h2_plan = NaiveFriIop._query_plan(h2_proto, h2_lde, x_h2)
             chain_data = h1_plan[2] + h2_plan[2]
             idx_arrays = h1_plan[3] + h2_plan[3]
+            def _entry(o, vals):
+                # dropped oracle (tree_drop_min): the gather program
+                # rebuilds the tree from the committed values as temps
+                if o.dropped:
+                    return (None, None, vals)
+                return (o.leaf_hashes, tuple(o.levels), vals)
+
             chain_data += [
-                (o.leaf_hashes, tuple(o.levels), f_ldes[r])
-                for r, o in enumerate(f_oracles)
-            ] + [(g_oracle.leaf_hashes, tuple(g_oracle.levels), g_lde_vals)]
+                _entry(o, f_ldes[r]) for r, o in enumerate(f_oracles)
+            ] + [_entry(g_oracle, g_lde_vals)]
             idx_arrays += [jnp.asarray([x_h1], jnp.int32)] * len(f_oracles) + [
                 jnp.asarray([x_h2], jnp.int32)
             ]

@@ -42,8 +42,22 @@ timeout 4800 python scripts/tpu_bench.py ntt 24
 # reference's headline 2^20-row quadratic + cubic VDF
 BENCH_MODE=prove BENCH_LOG_ROWS=14 timeout 7200  python bench.py
 BENCH_MODE=prove BENCH_LOG_ROWS=16 timeout 7200  python bench.py
-BENCH_MODE=prove BENCH_LOG_ROWS=20 timeout 10800 python bench.py
-BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 timeout 10800 python bench.py
+# 2^20 rows -> h1=2^24, h2=2^25: HBM is tight (BASELINE.md §memory);
+# tree-dropping is on by default, and if the one-program ladder OOMs,
+# retry with the per-round eager ladder (HODOR_FRI_EAGER)
+# 2^18 rows: the batched-coset stage1 LDE sits just under the
+# sequential threshold and is the big temp consumer on CPU buffer
+# assignment (34 GiB; BASELINE.md §memory) — if the TPU assignment
+# also OOMs, retry with the cosets serialized (HODOR_LDE_SEQ_MIN)
+if ! BENCH_MODE=prove BENCH_LOG_ROWS=18 timeout 9000 python bench.py; then
+  HODOR_LDE_SEQ_MIN=27 BENCH_MODE=prove BENCH_LOG_ROWS=18 timeout 9000 python bench.py
+fi
+if ! BENCH_MODE=prove BENCH_LOG_ROWS=20 timeout 10800 python bench.py; then
+  HODOR_FRI_EAGER=1 BENCH_MODE=prove BENCH_LOG_ROWS=20 timeout 10800 python bench.py
+fi
+if ! BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 timeout 10800 python bench.py; then
+  HODOR_FRI_EAGER=1 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 timeout 10800 python bench.py
+fi
 
 # experimental fused dot+reduce (only if it qualified; harmless if not)
 HODOR_NTT_FUSED=1 timeout 2400 python scripts/tpu_bench.py fused 16

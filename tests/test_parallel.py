@@ -85,3 +85,52 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_four_step_intt_matches_single(mesh8):
+    from hodor_tpu.ntt import intt
+    from hodor_tpu.parallel import four_step_intt
+
+    field = F_STARK
+    ops = ops_for(field)
+    random.seed(14)
+    n = 64
+    coeffs = [random.randrange(field.p) for _ in range(n)]
+    a = ops.encode(coeffs)
+    single = ops.decode(jax.jit(lambda x: intt(ops, x))(a))
+    stepped = ops.decode(jax.jit(lambda x: four_step_intt(ops, x, mesh8))(a))
+    assert list(single) == list(stepped)
+
+
+def test_sharded_icoset_ntt_matches_single(mesh8):
+    from hodor_tpu.ntt import icoset_ntt
+    from hodor_tpu.parallel import sharded_icoset_ntt
+
+    field = F_STARK
+    ops = ops_for(field)
+    random.seed(15)
+    n = 32
+    vals = [random.randrange(field.p) for _ in range(n)]
+    a = ops.encode(vals)
+    single = ops.decode(jax.jit(lambda x: icoset_ntt(ops, x))(a))
+    stepped = ops.decode(jax.jit(lambda x: sharded_icoset_ntt(ops, x, mesh8))(a))
+    assert list(single) == list(stepped)
+
+
+def test_sharded_coset_lde_rows_matches_single(mesh8):
+    """The small-factor (factor < mesh) distributed coset-LDE used by
+    ALI term evaluation: row-sharded four-step per coset."""
+    from hodor_tpu.parallel import sharded_coset_lde_rows
+
+    field = F_STARK
+    ops = ops_for(field)
+    random.seed(16)
+    t, factor = 32, 2
+    coeffs = [[random.randrange(field.p) for _ in range(t)] for _ in range(3)]
+    a = jax.numpy.stack([ops.encode(c) for c in coeffs])  # (3, T, L)
+    single = jax.jit(lambda x: lde(ops, x, factor, coset=True))(a)
+    sharded = jax.jit(
+        lambda x: sharded_coset_lde_rows(ops, x, factor, mesh8)
+    )(a)
+    for b in range(3):
+        assert list(ops.decode(single[b])) == list(ops.decode(sharded[b]))
