@@ -63,8 +63,22 @@ def emit(name, witness, props, field, lde_factor):
     print(f"{name}: {len(blob)} proof bytes, {len(log)} challenges")
 
 
+def cubic_vdf_instance():
+    from hodor_tpu.models import CubicVDF
+
+    return CubicVDF(F_STARK, 1, 1, 31).into_arp()  # T = 32 rows
+
+
 if __name__ == "__main__":
-    w, p = fib_instance()
-    emit("fib_f257", w, p, F257, 16)
-    w, p = vdf_instance()
-    emit("vdf_fstark_t32", w, p, F_STARK, 16)
+    import sys as _sys
+
+    only = _sys.argv[1] if len(_sys.argv) > 1 else None
+    if only in (None, "fib_f257"):
+        w, p = fib_instance()
+        emit("fib_f257", w, p, F257, 16)
+    if only in (None, "vdf_fstark_t32"):
+        w, p = vdf_instance()
+        emit("vdf_fstark_t32", w, p, F_STARK, 16)
+    if only in (None, "cubic_vdf_fstark_t32"):
+        w, p = cubic_vdf_instance()
+        emit("cubic_vdf_fstark_t32", w, p, F_STARK, 16)

@@ -68,8 +68,9 @@ def fri_chain_analysis(log_n, drop_min):
     return analyze(lowered.compile())
 
 
-def stage1_analysis(log_t, drop_min):
+def stage1_analysis(log_t, drop_min, seq_min=None):
     os.environ["HODOR_TREE_DROP_MIN"] = str(drop_min)
+    import hodor_tpu.ntt as nttmod
     from hodor_tpu.field import F_STARK
     from hodor_tpu.models import VDF
     from hodor_tpu.prover import Prover
@@ -78,12 +79,19 @@ def stage1_analysis(log_t, drop_min):
     # witness rows then re-lower at the big T via ShapeDtypeStruct
     import jax.numpy as jnp
 
-    t = 1 << log_t
-    witness, props = VDF(F_STARK, 1, 2, 3).into_arp()
-    props.num_rows = t
-    p = Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=1)
-    wd = jax.ShapeDtypeStruct((2, t, p.ops.n16), jnp.uint32)
-    return analyze(p._stage1_fn.lower(wd).compile())
+    old_seq = nttmod._LDE_SEQUENTIAL_MIN
+    if seq_min is not None:
+        # the in-process analog of HODOR_LDE_SEQ_MIN (read at import)
+        nttmod._LDE_SEQUENTIAL_MIN = seq_min
+    try:
+        t = 1 << log_t
+        witness, props = VDF(F_STARK, 1, 2, 3).into_arp()
+        props.num_rows = t
+        p = Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=1)
+        wd = jax.ShapeDtypeStruct((2, t, p.ops.n16), jnp.uint32)
+        return analyze(p._stage1_fn.lower(wd).compile())
+    finally:
+        nttmod._LDE_SEQUENTIAL_MIN = old_seq
 
 
 def main():
@@ -109,6 +117,19 @@ def main():
             except Exception as e:
                 out[key] = {"error": repr(e)[:200]}
             print(json.dumps({key: out[key]}), flush=True)
+    # stage1 with the coset NTTs serialized (the HODOR_LDE_SEQ_MIN=27
+    # campaign fallback): the batched form at T=2^18 is the biggest temp
+    # consumer of the whole prove
+    for log_t in (18,):
+        if log_t + 4 > max_log_n:
+            continue
+        key = f"stage1_T2^{log_t}_seq"
+        print(f"compiling {key} ...", flush=True)
+        try:
+            out[key] = stage1_analysis(log_t, 1 << 22, seq_min=1 << 27)
+        except Exception as e:
+            out[key] = {"error": repr(e)[:200]}
+        print(json.dumps({key: out[key]}), flush=True)
     with open(os.path.join(os.path.dirname(__file__), "mem_budget.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("FINAL", json.dumps(out))

@@ -329,6 +329,75 @@ def vdf_instance(field: OField, c0: int, c1: int, num_operations: int):
     }
 
 
+def cubic_vdf_instance(field: OField, c0: int, c1: int, num_operations: int):
+    """src/experiments/cubic_vdf.rs:19-265 (non_residue = -1): a cubing
+    chain in Fp2 proven via an intermediate squaring step; 4 registers
+    (c0, c1, sq_c0, sq_c1), 4 dense degree-2 constraints, term order
+    exactly the reference's -=/+= sequence (cubic_vdf.rs:143-198)."""
+    p = field.p
+    nr = p - 1
+
+    def square(a, b):
+        return (a * a + nr * b * b) % p, 2 * a * b % p
+
+    def mul(a, b, c, d):
+        return (a * c + nr * b * d) % p, (a * d + b * c) % p
+
+    num_values = num_operations + 1
+    c0w, c1w, s0w, s1w = [0] * num_values, [0] * num_values, [0] * num_values, [0] * num_values
+    v0, v1 = c0, c1
+    c0w[0], c1w[0] = v0, v1
+    s0, s1 = square(v0, v1)
+    s0w[0], s1w[0] = s0, s1
+    for i in range(num_operations):
+        v0, v1 = mul(s0, s1, v0, v1)
+        c0w[i + 1], c1w[i + 1] = v0, v1
+        s0, s1 = square(v0, v1)
+        s0w[i + 1], s1w[i + 1] = s0, s1
+
+    constraints = [
+        {  # -c0^2 - r*c1^2 + sq_c0   (cubic_vdf.rs:143-147)
+            "constant": 0, "degree": 2, "density": ("dense", 0, 1),
+            "terms": [
+                ("uni", p - 1, 0, 0, 2),
+                ("uni", (p - nr) % p, 1, 0, 2),  # -(-1) = 1
+                ("uni", 1, 2, 0, 1),
+            ],
+        },
+        {  # -2*c0*c1 + sq_c1   (:152-156)
+            "constant": 0, "degree": 2, "density": ("dense", 0, 1),
+            "terms": [
+                ("poly", p - 2, [(0, 0, 1), (1, 0, 1)]),
+                ("uni", 1, 3, 0, 1),
+            ],
+        },
+        {  # -c0*sq_c0 - r*c1*sq_c1 + c0(t+1)   (:172-177)
+            "constant": 0, "degree": 2, "density": ("dense", 0, 1),
+            "terms": [
+                ("poly", p - 1, [(0, 0, 1), (2, 0, 1)]),
+                ("poly", (p - nr) % p, [(1, 0, 1), (3, 0, 1)]),
+                ("uni", 1, 0, 1, 1),
+            ],
+        },
+        {  # -c0*sq_c1 - c1*sq_c0 + c1(t+1)   (:193-198)
+            "constant": 0, "degree": 2, "density": ("dense", 0, 1),
+            "terms": [
+                ("poly", p - 1, [(0, 0, 1), (3, 0, 1)]),
+                ("poly", p - 1, [(1, 0, 1), (2, 0, 1)]),
+                ("uni", 1, 1, 1, 1),
+            ],
+        },
+    ]
+    boundary = [
+        (0, 0, c0), (1, 0, c1),
+        (0, num_operations, c0w[-1]), (1, num_operations, c1w[-1]),
+    ]
+    return [c0w, c1w, s0w, s1w], {
+        "num_rows": num_values, "num_registers": 4,
+        "constraints": constraints, "boundary": boundary,
+    }
+
+
 # -------------------------------------------------------------------- ALI
 
 def _term_units(term):

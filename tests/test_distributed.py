@@ -68,3 +68,26 @@ def test_stage1_per_device_memory_shrinks(compiled_pair):
         f"{single.temp_size_in_bytes}: compute is not distributed"
     )
     assert mesh8.output_size_in_bytes < single.output_size_in_bytes
+
+
+@pytest.mark.slow
+def test_stage1_per_device_memory_shrinks_at_scale():
+    """VERDICT round-2 item 4's scale point: per-device peak memory on
+    the 8-device mesh at T=2^14 (compile-only; no execution)."""
+    t = 1 << 14
+    witness, props = VDF(F_STARK, 1, 2, 3).into_arp()
+    props.num_rows = t
+    mems = {}
+    for tag, mesh in (("single", None), ("mesh8", make_mesh(8))):
+        p = Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=1,
+                   mesh=mesh)
+        wd = jax.ShapeDtypeStruct((2, t, p.ops.n16), jax.numpy.uint32)
+        mems[tag] = p._stage1_fn.lower(wd).compile().memory_analysis()
+    assert (
+        mems["mesh8"].temp_size_in_bytes
+        < 0.5 * mems["single"].temp_size_in_bytes
+    )
+    assert (
+        mems["mesh8"].output_size_in_bytes
+        < mems["single"].output_size_in_bytes
+    )

@@ -60,3 +60,11 @@ def test_vdf_fstark_golden():
 
     witness, props = VDF(F_STARK, 1, 2, 31).into_arp()
     _check("vdf_fstark_t32", witness, props, F_STARK, 16)
+
+
+@pytest.mark.slow
+def test_cubic_vdf_fstark_golden():
+    from hodor_tpu.models import CubicVDF
+
+    witness, props = CubicVDF(F_STARK, 1, 1, 31).into_arp()
+    _check("cubic_vdf_fstark_t32", witness, props, F_STARK, 16)

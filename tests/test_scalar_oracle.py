@@ -34,6 +34,11 @@ def _golden(name):
     [
         ("fib_f257", so.F257, lambda: so.fibonacci_instance(so.F257)),
         ("vdf_fstark_t32", so.F_STARK, lambda: so.vdf_instance(so.F_STARK, 1, 2, 31)),
+        (
+            "cubic_vdf_fstark_t32",
+            so.F_STARK,
+            lambda: so.cubic_vdf_instance(so.F_STARK, 1, 1, 31),
+        ),
     ],
 )
 def test_oracle_reproduces_golden(name, field, instance):
