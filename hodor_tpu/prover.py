@@ -146,9 +146,27 @@ class Prover:
         self._stage1_fn = jax.jit(stage1)
         self._stage_g_fn = jax.jit(stage_g)
 
-    def prove(self, witness: List[List[int]]) -> InstanceProof:
+    def prove(self, witness: List[List[int]],
+              checkpoint_dir: Optional[str] = None) -> InstanceProof:
+        """Full prove pipeline (src/prover/mod.rs:66-174).
+
+        checkpoint_dir (optional): persist each completed Fiat-Shamir
+        stage (hodor_tpu/checkpoint.py) so an interrupted prove resumes
+        from the last stage boundary on re-run with the same directory;
+        the resumed proof is byte-identical (tests/test_checkpoint.py).
+        Resumed oracles are root-only — the query gather rebuilds their
+        trees in-program (the tree-dropping mechanism, merkle/tree.py).
+        """
         ops = self.ops
         field = self.field
+        ck = None
+        done: List[str] = []
+        if checkpoint_dir is not None:
+            from .checkpoint import ProveCheckpoint
+
+            ck = ProveCheckpoint(checkpoint_dir)
+            done = ck.completed_prefix()
+
         transcript = Blake2sTranscript(field)
         # exposed for Fiat-Shamir audits (tests/test_golden.py)
         self.last_transcript = transcript
@@ -159,47 +177,157 @@ class Prover:
         timer = StageTimer()
         self.last_timings = timer
 
+        def _restore_transcript(meta):
+            nonlocal transcript
+            transcript = Blake2sTranscript.restore(field, meta["transcript"])
+            self.last_transcript = transcript
+
         # 1+2. witness -> polys -> LDEs -> oracles (one device program)
-        with timer.stage("witness+f_ldes+f_oracles"):
-            w_dev = self.arp.encode_witness(witness)
-            witness_polys, f_ldes, f_trees, f_roots_dev = self._stage1_fn(w_dev)
-            f_roots = np.asarray(jax.device_get(f_roots_dev))  # SYNC: commit roots
-        f_iop_roots = [digest_to_bytes(r) for r in f_roots]
-        f_oracles = [
-            MerkleTree(None, None, field, root_bytes=rb, size=f_ldes.shape[1])
-            if len(tree) == 0
-            else MerkleTree(tree[0], list(tree[1]), field, root_bytes=rb)
-            for tree, rb in zip(f_trees, f_iop_roots)
-        ]
-        for root in f_iop_roots:
-            transcript.commit_bytes(root)
+        if ck is not None and "stage1" in done:
+            with timer.stage("witness+f_ldes+f_oracles(resumed)"):
+                arrays, meta = ck.load("stage1")
+                witness_polys = jnp.asarray(arrays["witness_polys"])
+                f_ldes = jnp.asarray(arrays["f_ldes"])
+                f_iop_roots = [bytes.fromhex(h) for h in meta["f_roots"]]
+                f_oracles = [
+                    MerkleTree(None, None, field, root_bytes=rb,
+                               size=f_ldes.shape[1])
+                    for rb in f_iop_roots
+                ]
+                _restore_transcript(meta)
+        else:
+            with timer.stage("witness+f_ldes+f_oracles"):
+                w_dev = self.arp.encode_witness(witness)
+                witness_polys, f_ldes, f_trees, f_roots_dev = self._stage1_fn(w_dev)
+                f_roots = np.asarray(jax.device_get(f_roots_dev))  # SYNC: commit roots
+            f_iop_roots = [digest_to_bytes(r) for r in f_roots]
+            f_oracles = [
+                MerkleTree(None, None, field, root_bytes=rb, size=f_ldes.shape[1])
+                if len(tree) == 0
+                else MerkleTree(tree[0], list(tree[1]), field, root_bytes=rb)
+                for tree, rb in zip(f_trees, f_iop_roots)
+            ]
+            for root in f_iop_roots:
+                transcript.commit_bytes(root)
+            if ck is not None:
+                ck.save(
+                    "stage1",
+                    {
+                        "witness_polys": jax.device_get(witness_polys),
+                        "f_ldes": jax.device_get(f_ldes),
+                    },
+                    {
+                        "f_roots": [rb.hex() for rb in f_iop_roots],
+                        "transcript": transcript.snapshot(),
+                    },
+                )
 
         # 3+4. G composition + G LDE + oracle (src/prover/mod.rs:89-95)
-        with timer.stage("g_composition+g_oracle"):
-            g_poly = self.ali.calculate_g(transcript, witness_polys)  # (D, L)
-            g_lde_vals, g_tree, g_root_dev = self._stage_g_fn(g_poly)
-            g_iop_root = digest_to_bytes(jax.device_get(g_root_dev))  # SYNC
-        g_oracle = (
-            MerkleTree(None, None, field, root_bytes=g_iop_root,
-                       size=g_lde_vals.shape[0])
-            if len(g_tree) == 0
-            else MerkleTree(g_tree[0], list(g_tree[1]), field, root_bytes=g_iop_root)
-        )
-        transcript.commit_bytes(g_iop_root)
+        if ck is not None and "stage_g" in done:
+            with timer.stage("g_composition+g_oracle(resumed)"):
+                arrays, meta = ck.load("stage_g")
+                g_poly = jnp.asarray(arrays["g_poly"])
+                g_lde_vals = jnp.asarray(arrays["g_lde_vals"])
+                g_iop_root = bytes.fromhex(meta["g_root"])
+                g_oracle = MerkleTree(None, None, field, root_bytes=g_iop_root,
+                                      size=g_lde_vals.shape[0])
+                _restore_transcript(meta)
+        else:
+            with timer.stage("g_composition+g_oracle"):
+                g_poly = self.ali.calculate_g(transcript, witness_polys)  # (D, L)
+                g_lde_vals, g_tree, g_root_dev = self._stage_g_fn(g_poly)
+                g_iop_root = digest_to_bytes(jax.device_get(g_root_dev))  # SYNC
+            g_oracle = (
+                MerkleTree(None, None, field, root_bytes=g_iop_root,
+                           size=g_lde_vals.shape[0])
+                if len(g_tree) == 0
+                else MerkleTree(g_tree[0], list(g_tree[1]), field, root_bytes=g_iop_root)
+            )
+            transcript.commit_bytes(g_iop_root)
+            if ck is not None:
+                ck.save(
+                    "stage_g",
+                    {
+                        "g_poly": jax.device_get(g_poly),
+                        "g_lde_vals": jax.device_get(g_lde_vals),
+                    },
+                    {
+                        "g_root": g_iop_root.hex(),
+                        "transcript": transcript.snapshot(),
+                    },
+                )
 
         # 5. DEEP (src/prover/mod.rs:99-106)
-        with timer.stage("deep"):
-            h1_lde, h2_lde, f_at_z_m, _g_at_z = self.ali.calculate_deep(
-                witness_polys, f_ldes, g_poly, g_lde_vals, transcript
-            )
+        if ck is not None and "deep" in done:
+            with timer.stage("deep(resumed)"):
+                arrays, meta = ck.load("deep")
+                h1_lde = jnp.asarray(arrays["h1_lde"])
+                h2_lde = jnp.asarray(arrays["h2_lde"])
+                f_at_z_m = [int(v) for v in meta["f_at_z_m"]]
+                _restore_transcript(meta)
+        else:
+            with timer.stage("deep"):
+                h1_lde, h2_lde, f_at_z_m, _g_at_z = self.ali.calculate_deep(
+                    witness_polys, f_ldes, g_poly, g_lde_vals, transcript
+                )
+            if ck is not None:
+                ck.save(
+                    "deep",
+                    {
+                        "h1_lde": jax.device_get(h1_lde),
+                        "h2_lde": jax.device_get(h2_lde),
+                    },
+                    {
+                        "f_at_z_m": [str(v) for v in f_at_z_m],
+                        "transcript": transcript.snapshot(),
+                    },
+                )
 
         # 6. FRI for h1 and h2 (src/prover/mod.rs:112-113); both ladders
         # run in ONE device program with a single batched host fetch
         # (fri/_fri_chain_pair)
-        with timer.stage("fri_h1+h2"):
-            h1_proto, h2_proto = NaiveFriIop.proofs_from_lde_pair(
-                h1_lde, h2_lde, self.lde_factor, self.fri_final_degree_plus_one, field
-            )
+        if ck is not None and "fri" in done:
+            with timer.stage("fri_h1+h2(resumed)"):
+                arrays, meta = ck.load("fri")
+                protos = []
+                for tag, lde_vals in (("h1", h1_lde), ("h2", h2_lde)):
+                    n_rounds = int(meta[f"{tag}_rounds"])
+                    inter = [
+                        jnp.asarray(arrays[f"{tag}_v{i}"]) for i in range(n_rounds)
+                    ]
+                    protos.append(
+                        NaiveFriIop._assemble_prototype(
+                            ops, field,
+                            [()] * (n_rounds + 1),  # all trees root-only
+                            arrays[f"{tag}_roots"], inter, arrays[f"{tag}_fc"],
+                            lde_vals.shape[0] // self.lde_factor,
+                            self.fri_final_degree_plus_one, self.lde_factor,
+                        )
+                    )
+                h1_proto, h2_proto = protos
+                _restore_transcript(meta)
+        else:
+            with timer.stage("fri_h1+h2"):
+                h1_proto, h2_proto = NaiveFriIop.proofs_from_lde_pair(
+                    h1_lde, h2_lde, self.lde_factor, self.fri_final_degree_plus_one,
+                    field
+                )
+            if ck is not None:
+                arrays = {}
+                meta = {"transcript": transcript.snapshot()}
+                for tag, proto in (("h1", h1_proto), ("h2", h2_proto)):
+                    inter = proto.intermediate_values
+                    meta[f"{tag}_rounds"] = len(inter)
+                    for i, v in enumerate(inter):
+                        arrays[f"{tag}_v{i}"] = jax.device_get(v)
+                    arrays[f"{tag}_roots"] = np.stack(
+                        [np.frombuffer(rb, dtype="<u4")  # digest_to_bytes inverse
+                         for rb in proto.get_roots()]
+                    )
+                    arrays[f"{tag}_fc"] = jax.device_get(
+                        ops.encode([proto.final_coefficients])
+                    )[0]
+                ck.save("fri", arrays, meta)
 
         # 7. commit final roots + coefficients (src/prover/mod.rs:118-127)
         transcript.commit_bytes(h1_proto.get_final_root())

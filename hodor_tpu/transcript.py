@@ -34,6 +34,10 @@ class Blake2sTranscript:
         assert field.num_bits < 256
         self.field = field
         self._state = hashlib.blake2s(key=KEY, person=PERSONAL)
+        # every byte ever absorbed, in order: the state is a pure
+        # function of this stream, which makes transcripts checkpoint/
+        # restorable (hashlib objects cannot be pickled) - a few KB/prove
+        self._raw = bytearray()
         # every challenge drawn, in order - the Fiat-Shamir audit trail
         # golden-vector tests freeze (tests/test_golden.py)
         self.log: list = []
@@ -41,21 +45,25 @@ class Blake2sTranscript:
     def _finalize(self) -> bytes:
         return self._state.copy().digest()
 
-    def commit_bytes(self, data: bytes) -> None:
+    def _absorb(self, data: bytes) -> None:
         self._state.update(data)
+        self._raw += data
+
+    def commit_bytes(self, data: bytes) -> None:
+        self._absorb(data)
 
     def commit_field_element(self, value: int) -> None:
-        self._state.update(self.field.repr_be(value % self.field.p))
+        self._absorb(self.field.repr_be(value % self.field.p))
 
     def get_challenge_bytes(self) -> bytes:
         d = self._finalize()
-        self._state.update(d)
+        self._absorb(d)
         self.log.append(("bytes", d.hex()))
         return d
 
     def get_challenge(self) -> int:
         d = self._finalize()
-        self._state.update(d)
+        self._absorb(d)
         c = self.field.from_be_with_shave(d)
         self.log.append(("field", c))
         return c
@@ -63,7 +71,27 @@ class Blake2sTranscript:
     def clone(self) -> "Blake2sTranscript":
         t = Blake2sTranscript(self.field)
         t._state = self._state.copy()
+        t._raw = bytearray(self._raw)
         t.log = list(self.log)
+        return t
+
+    # ------------------------------------------------ checkpoint/resume
+
+    def snapshot(self) -> dict:
+        """JSON-serializable state (checkpoint.py): the absorbed byte
+        stream plus the audit log."""
+        return {
+            "raw": bytes(self._raw).hex(),
+            "log": [[k, v if isinstance(v, str) else str(v)] for k, v in self.log],
+        }
+
+    @classmethod
+    def restore(cls, field: Field, snap: dict) -> "Blake2sTranscript":
+        t = cls(field)
+        t._absorb(bytes.fromhex(snap["raw"]))
+        t.log = [
+            (k, v if k == "bytes" else int(v)) for k, v in snap["log"]
+        ]
         return t
 
 
