@@ -336,6 +336,29 @@ class ALIInstance:
         return self._g_fn(witness_coeffs, c_alphas, c_betas, b_alphas, b_betas,
                           divisors, b_divisors, self.coset_values)
 
+    def calculate_g_batch(self, transcripts, witness_coeffs_b) -> jnp.ndarray:
+        """Batched calculate_g: witness_coeffs_b (B, R, T, L), one
+        transcript per proof. ONE vmapped device program computes every
+        proof's G; challenge order per proof is identical to
+        calculate_g (the instance-level divisors/coset tables broadcast)."""
+        ops = self.ops
+        ch = [self.draw_g_challenges(t) for t in transcripts]
+        c_alphas = ops.encode([[a for a, _ in cc] for cc, _ in ch])
+        c_betas = ops.encode([[b for _, b in cc] for cc, _ in ch])
+        b_alphas = ops.encode([[a for a, _ in bc] for _, bc in ch])
+        b_betas = ops.encode([[b for _, b in bc] for _, bc in ch])
+        if getattr(self, "_g_batch_fn", None) is None:
+            self._g_batch_fn = jax.jit(
+                jax.vmap(
+                    self._calculate_g_traced,
+                    in_axes=(0, 0, 0, 0, 0, None, None, None),
+                )
+            )
+        divisors = {k: v for k, v in self.constraint_divisors.items()}
+        b_divisors = {k: v for k, v in self.boundary_divisors.items()}
+        return self._g_batch_fn(witness_coeffs_b, c_alphas, c_betas, b_alphas,
+                                b_betas, divisors, b_divisors, self.coset_values)
+
     def _calculate_g_traced(
         self, witness_coeffs, c_alphas, c_betas, b_alphas, b_betas,
         divisors, b_divisors, coset_values
@@ -529,6 +552,60 @@ class ALIInstance:
         f_at_z_m = [int(v) for v in ops.decode(f_np)]
         g_at_z = int(ops.decode(g_np))
         return h1_lde, h2_lde, f_at_z_m, g_at_z
+
+    def calculate_deep_batch(self, witness_coeffs_b, f_ldes_b, g_poly_b,
+                             g_lde_b, transcripts):
+        """Batched calculate_deep: leading axis B on every array, one
+        transcript per proof. Returns (h1_lde_b, h2_lde_b,
+        f_at_z_m: list per proof, g_at_z: list per proof) with ONE
+        vmapped device program + ONE host sync for all proofs."""
+        ops = self.ops
+        field = self.field
+        from ..errors import DivisionByZeroError
+
+        n_f = f_ldes_b.shape[2]
+        n_g = g_lde_b.shape[1]
+        zs, alphas_b, roots_b = [], [], []
+        for t in transcripts:
+            z = t.get_challenge()
+            alphas = [t.get_challenge() for _ in self.all_masks]
+            roots = [field.mul(m.mask, z) for m in self.all_masks]
+            for root in roots:
+                if field.pow(root, n_f) == 1:
+                    raise DivisionByZeroError("mask*z lies in the f-LDE domain")
+            if field.pow(z, n_g) == 1:
+                raise DivisionByZeroError("z lies in the g-LDE domain")
+            zs.append(z)
+            alphas_b.append(alphas)
+            roots_b.append(roots)
+
+        regs = tuple(m.register_index for m in self.all_masks)
+        if getattr(self, "_deep_batch_fn", None) is None:
+            self._deep_batch_fn = jax.jit(
+                jax.vmap(
+                    lambda wc, fl, gp, gl, sc: self._deep_traced(
+                        wc, fl, gp, gl, sc, regs
+                    ),
+                    in_axes=(0, 0, 0, 0,
+                             {"z": 0, "alphas": 0, "roots": 0,
+                              "xs_f": None, "xs_g": None}),
+                )
+            )
+        h1_b, h2_b, f_at_z_dev, g_at_z_dev = self._deep_batch_fn(
+            witness_coeffs_b, f_ldes_b, g_poly_b, g_lde_b,
+            {
+                "z": ops.encode(zs),
+                "alphas": ops.encode(alphas_b),
+                "roots": ops.encode(roots_b),
+                "xs_f": self._domain_points(n_f),
+                "xs_g": self._domain_points(n_g),
+            },
+        )
+        f_np, g_np = jax.device_get((f_at_z_dev, g_at_z_dev))  # ONE sync
+        f_at_z_m = [[int(v) for v in self.ops.decode(f_np[b])]
+                    for b in range(len(transcripts))]
+        g_at_z = [int(v) for v in self.ops.decode(g_np)]
+        return h1_b, h2_b, f_at_z_m, g_at_z
 
     def _domain_points(self, n: int):
         """[1, w, w^2, ...] over the size-n domain, computed once per

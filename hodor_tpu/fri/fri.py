@@ -243,6 +243,38 @@ def _fri_chain_pair(ops, lde1, steps1, om1, lde2, steps2, om2, drop_min: int = 1
     )
 
 
+def fri_chain_pair_batch(field: Field, h1_b, h2_b, lde_factor: int,
+                         output_coeffs_at_degree_plus_one: int, cache: dict):
+    """Both FRI ladders for a BATCH of proofs as one vmapped device
+    program (prover.prove_batch). h1_b: (B, N1, L), h2_b: (B, N2, L).
+    Returns the two chains' raw batched outputs plus
+    (initial_degree_plus_one per chain). `cache` memoizes the jitted
+    vmapped program per (sizes, steps, drop) so repeat batches reuse it."""
+    ops = ops_for(field)
+    from ..merkle.tree import tree_drop_min
+    from ..ntt import _omega_table
+
+    sizes = (h1_b.shape[1], h2_b.shape[1])
+    oms = tuple(
+        jnp.asarray(_omega_table(field, log2_floor(n), True)) for n in sizes
+    )
+    idpos = tuple(n // lde_factor for n in sizes)
+    steps = tuple(
+        log2_floor(d // output_coeffs_at_degree_plus_one) for d in idpos
+    )
+    drop = tree_drop_min()
+    key = (sizes, steps, drop)
+    if key not in cache:
+        def pair(l1, l2):
+            return (
+                _fri_chain.__wrapped__(ops, l1, steps[0], oms[0], drop),
+                _fri_chain.__wrapped__(ops, l2, steps[1], oms[1], drop),
+            )
+
+        cache[key] = jax.jit(jax.vmap(pair))
+    return cache[key](h1_b, h2_b), idpos
+
+
 @jax.jit
 def _gather_chain_queries(chain_data, idx_arrays):
     """One fused gather of every round's query values + full Merkle

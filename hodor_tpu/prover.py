@@ -145,6 +145,12 @@ class Prover:
 
         self._stage1_fn = jax.jit(stage1)
         self._stage_g_fn = jax.jit(stage_g)
+        # raw closures kept for prove_batch's vmapped variants
+        self._stage1_raw = stage1
+        self._stage_g_raw = stage_g
+        self._stage1_batch_fn = None
+        self._stage_g_batch_fn = None
+        self._fri_batch_cache = {}
 
     def prove(self, witness: List[List[int]],
               checkpoint_dir: Optional[str] = None) -> InstanceProof:
@@ -400,3 +406,200 @@ class Prover:
             fri_proof_h1=fri_proof_h1,
             fri_proof_h2=fri_proof_h2,
         )
+
+    def prove_batch(self, witnesses: List[List[List[int]]]) -> List[InstanceProof]:
+        """Prove MANY witnesses of this instance at once: every device
+        stage runs as ONE vmapped program over the batch axis, so a batch
+        of B proofs pays the prover's 5-dispatch floor once instead of B
+        times and fills the chip with B-way parallel work — a throughput
+        mode the reference's one-proof-per-call API cannot express
+        (src/prover/mod.rs:66). Each returned proof is byte-identical to
+        prove() of the same witness (tests/test_batch.py)."""
+        if (
+            self.mesh is not None
+            or len(witnesses) == 1
+            or not self.arp.properties.constraints
+            or not self.arp.properties.boundary_constraints
+        ):
+            return [self.prove(w) for w in witnesses]
+        ops = self.ops
+        field = self.field
+        B = len(witnesses)
+        transcripts = [Blake2sTranscript(field) for _ in witnesses]
+        self.last_transcripts = transcripts
+        from .profiling import StageTimer
+
+        timer = StageTimer()
+        self.last_timings = timer
+
+        # stage 1, batched
+        with timer.stage("batch:witness+f_ldes+f_oracles"):
+            w_dev = jnp.stack([self.arp.encode_witness(w) for w in witnesses])
+            if self._stage1_batch_fn is None:
+                self._stage1_batch_fn = jax.jit(jax.vmap(self._stage1_raw))
+                self._stage_g_batch_fn = jax.jit(jax.vmap(self._stage_g_raw))
+            _coeffs_b, f_ldes_b, f_trees_b, f_roots_b = self._stage1_batch_fn(w_dev)
+            witness_polys_b = _coeffs_b
+            f_roots = np.asarray(jax.device_get(f_roots_b))  # (B, R, 8) SYNC
+        f_root_bytes = [[digest_to_bytes(r) for r in f_roots[b]] for b in range(B)]
+        for b, t in enumerate(transcripts):
+            for rb in f_root_bytes[b]:
+                t.commit_bytes(rb)
+
+        # G, batched (challenges drawn per proof in reference order)
+        with timer.stage("batch:g_composition+g_oracle"):
+            g_poly_b = self.ali.calculate_g_batch(transcripts, witness_polys_b)
+            g_lde_b, g_tree_b, g_root_b = self._stage_g_batch_fn(g_poly_b)
+            g_roots = np.asarray(jax.device_get(g_root_b))  # (B, 8) SYNC
+        g_root_bytes = [digest_to_bytes(r) for r in g_roots]
+        for b, t in enumerate(transcripts):
+            t.commit_bytes(g_root_bytes[b])
+
+        # DEEP, batched
+        with timer.stage("batch:deep"):
+            h1_b, h2_b, f_at_z_m_b, _g_at_z_b = self.ali.calculate_deep_batch(
+                witness_polys_b, f_ldes_b, g_poly_b, g_lde_b, transcripts
+            )
+
+        # FRI pair, batched
+        from .fri.fri import fri_chain_pair_batch
+
+        with timer.stage("batch:fri_h1+h2"):
+            chains, idpos = fri_chain_pair_batch(
+                field, h1_b, h2_b, self.lde_factor,
+                self.fri_final_degree_plus_one, self._fri_batch_cache,
+            )
+            (trees1_b, roots1_b, inter1_b, fc1_b), (trees2_b, roots2_b, inter2_b, fc2_b) = chains
+            r1, c1, r2, c2 = jax.device_get((roots1_b, fc1_b, roots2_b, fc2_b))  # SYNC
+
+        # per-proof prototypes (root-only trees; queries rebuild them in
+        # the batched gather below) + final-root/coeff commits + indices
+        protos = []
+        for b in range(B):
+            t = transcripts[b]
+            pair = []
+            for roots_np, fc_np, n_rounds, idpo in (
+                (np.asarray(r1[b]), np.asarray(c1[b]), len(inter1_b), idpos[0]),
+                (np.asarray(r2[b]), np.asarray(c2[b]), len(inter2_b), idpos[1]),
+            ):
+                proto = NaiveFriIop._assemble_prototype(
+                    ops, field, [()] * (n_rounds + 1), roots_np,
+                    [None] * n_rounds,  # values live batched; gather is batched
+                    fc_np, idpo, self.fri_final_degree_plus_one, self.lde_factor,
+                )
+                pair.append(proto)
+            protos.append(pair)
+            for proto in pair:
+                t.commit_bytes(proto.get_final_root())
+                for el in proto.get_final_coefficients():
+                    t.commit_field_element(el)
+
+        h1_size, h2_size = h1_b.shape[1], h2_b.shape[1]
+        x_h1 = [
+            bytes_to_challenge_index(
+                t.get_challenge_bytes(), h1_size, self.lde_factor
+            )
+            for t in transcripts
+        ]
+        x_h2 = [
+            bytes_to_challenge_index(
+                t.get_challenge_bytes(), h2_size, self.lde_factor
+            )
+            for t in transcripts
+        ]
+
+        # ALL query openings for ALL proofs: one vmapped gather program
+        with timer.stage("batch:queries"):
+            from .domain import (
+                coset_for_natural_index_and_size,
+                index_and_size_for_next_domain,
+            )
+
+            def chain_entries(trees_b, values_b_list):
+                return [
+                    ((tb[0], tb[1], vb) if len(tb) else (None, None, vb))
+                    for tb, vb in zip(trees_b, values_b_list)
+                ]
+
+            chain_data = []
+            idx_arrays = []
+            cosets_h1, cosets_h2 = [], []
+            for trees_b, vals_list, x_list, cosets_out in (
+                (trees1_b, [h1_b] + list(inter1_b), x_h1, cosets_h1),
+                (trees2_b, [h2_b] + list(inter2_b), x_h2, cosets_h2),
+            ):
+                n_expected = len(vals_list)
+                size = vals_list[0].shape[1]
+                walks = []
+                for x in x_list:
+                    idx, sz = x, size
+                    walk = []
+                    for _ in range(n_expected):
+                        walk.append(coset_for_natural_index_and_size(idx, sz))
+                        idx, sz = index_and_size_for_next_domain(idx, sz)
+                    walks.append(walk)
+                cosets_out.extend(walks)
+                chain_data += chain_entries(trees_b, vals_list)
+                for ri in range(n_expected):
+                    idx_arrays.append(
+                        jnp.asarray(
+                            np.asarray([walks[b][ri] for b in range(B)],
+                                       dtype=np.int32)
+                        )
+                    )
+            num_registers = f_ldes_b.shape[1]
+            chain_data += chain_entries(
+                f_trees_b, [f_ldes_b[:, r] for r in range(num_registers)]
+            ) + chain_entries((g_tree_b,), [g_lde_b])
+            idx_arrays += [
+                jnp.asarray(np.asarray(x_h1, dtype=np.int32)[:, None])
+            ] * num_registers + [
+                jnp.asarray(np.asarray(x_h2, dtype=np.int32)[:, None])
+            ]
+            gathered = jax.device_get(
+                jax.vmap(_gather_chain_queries)(chain_data, idx_arrays)
+            )
+
+        # host assembly per proof
+        proofs = []
+        n1 = len(inter1_b) + 1
+        n2 = len(inter2_b) + 1
+        for b in range(B):
+            sliced = [(v[b], sibs[b]) for v, sibs in gathered]
+            h1_proto, h2_proto = protos[b]
+            fri_proof_h1 = NaiveFriIop._proof_from_gathered(
+                h1_proto,
+                [h1_proto.l0_commitment] + h1_proto.intermediate_commitments,
+                cosets_h1[b], sliced[:n1], ops,
+            )
+            fri_proof_h2 = NaiveFriIop._proof_from_gathered(
+                h2_proto,
+                [h2_proto.l0_commitment] + h2_proto.intermediate_commitments,
+                cosets_h2[b], sliced[n1 : n1 + n2], ops,
+            )
+            f_queries = []
+            for r, (v, sibs) in enumerate(sliced[n1 + n2 : -1]):
+                path = [digest_to_bytes(sibs[d, 0]) for d in range(sibs.shape[0])]
+                f_queries.append(
+                    IopQuery(index=x_h1[b], value=int(ops.decode(v[0])), path=path)
+                )
+            gv, gsibs = sliced[-1]
+            g_query = IopQuery(
+                index=x_h2[b],
+                value=int(ops.decode(gv[0])),
+                path=[digest_to_bytes(gsibs[d, 0]) for d in range(gsibs.shape[0])],
+            )
+            proofs.append(
+                InstanceProof(
+                    f_at_z_m=f_at_z_m_b[b],
+                    f_iop_roots=f_root_bytes[b],
+                    g_iop_root=g_root_bytes[b],
+                    f_queries=f_queries,
+                    g_query=g_query,
+                    h1_iop_roots=h1_proto.get_roots(),
+                    h2_iop_roots=h2_proto.get_roots(),
+                    fri_proof_h1=fri_proof_h1,
+                    fri_proof_h2=fri_proof_h2,
+                )
+            )
+        return proofs

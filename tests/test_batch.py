@@ -1,0 +1,49 @@
+"""Batched proving (Prover.prove_batch): B proofs run every device
+stage as ONE vmapped program, and each proof is byte-identical to
+prove() of the same witness — a throughput mode the reference's
+one-proof-per-call API (src/prover/mod.rs:66) cannot express."""
+
+import pytest
+
+from hodor_tpu.field import F_STARK
+from hodor_tpu.models import VDF
+from hodor_tpu.proof_io import serialize_proof
+from hodor_tpu.prover import Prover
+from hodor_tpu.verifier import Verifier
+
+
+@pytest.mark.slow
+def test_prove_batch_byte_identical_and_verifies():
+    # One instance (T=8 quadratic VDF), three witnesses: the honest one
+    # plus two from different VDF starts. The prover is witness-blind
+    # (satisfiability is the verifier's job), so every batched proof
+    # must byte-match its sequential prove — DISTINCT witnesses give
+    # distinct Merkle roots, so per-proof Fiat-Shamir challenges diverge
+    # and any cross-wiring between batch lanes breaks byte-identity.
+    witness, props = VDF(F_STARK, 1, 2, 7).into_arp()
+    w2, _ = VDF(F_STARK, 3, 5, 7).into_arp()
+    w3, _ = VDF(F_STARK, 2, 9, 7).into_arp()
+    prover = Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=1)
+    singles = [serialize_proof(prover.prove(w), F_STARK) for w in (witness, w2, w3)]
+
+    batch = prover.prove_batch([witness, w2, w3])
+    assert len(batch) == 3
+    assert [serialize_proof(pf, F_STARK) for pf in batch] == singles
+
+    verifier = Verifier(props, lde_factor=16)
+    assert verifier.verify(batch[0])  # honest witness
+    for pf in batch[1:]:  # wrong-witness proofs must not verify
+        ok = False
+        try:
+            ok = verifier.verify(pf)
+        except Exception:
+            pass
+        assert not ok
+
+
+def test_prove_batch_singleton_falls_back():
+    witness, props = VDF(F_STARK, 2, 3, 7).into_arp()
+    prover = Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=1)
+    baseline = serialize_proof(prover.prove(witness), F_STARK)
+    (proof,) = prover.prove_batch([witness])
+    assert serialize_proof(proof, F_STARK) == baseline
