@@ -143,6 +143,32 @@ def bench_prove():
     print(prover.last_timings.report(), file=sys.stderr)
     # reference estimate: ~40 T-sized FFT equivalents at baseline mul rate
     est_ref = 40 * (t_rows / 2 * log_rows) / BASELINE_MULS_PER_S
+
+    # BENCH_BATCH=B: throughput mode — B proofs via the vmapped
+    # prove_batch (one program per stage for the whole batch); reports
+    # per-proof wall time so vs_baseline stays comparable
+    batch = int(os.environ.get("BENCH_BATCH", "0"))
+    if batch > 1:
+        prover.prove_batch([witness] * batch)  # cold: vmapped compiles
+        t0 = time.time()
+        prover.prove_batch([witness] * batch)
+        per_proof = (time.time() - t0) / batch
+        print(
+            f"# prove_batch B={batch}: {per_proof:.2f}s/proof "
+            f"({warm/per_proof:.2f}x the single-prove wall)", file=sys.stderr
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"{_PLATFORM_TAG}{workload}_vdf_2^{log_rows}_rows"
+                              f"_batch{batch}_prove_per_proof_s",
+                    "value": per_proof,
+                    "unit": "s",
+                    "vs_baseline": est_ref / per_proof,
+                }
+            )
+        )
+        return
     print(
         json.dumps(
             {

@@ -59,6 +59,9 @@ if ! BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 timeout 10800 pytho
   HODOR_FRI_EAGER=1 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 timeout 10800 python bench.py
 fi
 
+# batched-prove throughput at a small shape (dispatch-floor amortization)
+BENCH_BATCH=8 BENCH_MODE=prove BENCH_LOG_ROWS=12 timeout 7200 python bench.py
+
 # experimental fused dot+reduce (only if it qualified; harmless if not)
 HODOR_NTT_FUSED=1 timeout 2400 python scripts/tpu_bench.py fused 16
 HODOR_NTT_FUSED=1 timeout 3600 python scripts/tpu_bench.py fused 20
