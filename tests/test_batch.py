@@ -41,6 +41,45 @@ def test_prove_batch_byte_identical_and_verifies():
         assert not ok
 
 
+def test_prove_batch_fib_f257_byte_identical():
+    """Fast batch coverage on the tiny field: two lanes with DIVERGING
+    witnesses (honest + corrupted) must each byte-match their sequential
+    prove — distinct Merkle roots make per-lane challenges diverge, so
+    cross-wiring between lanes breaks byte-identity."""
+    from hodor_tpu.air import Fibonacci, TestTraceSystem
+    from hodor_tpu.field import F257
+
+    fib = Fibonacci(F257, final_b=5, at_step=3)
+    tracer = TestTraceSystem(F257)
+    fib.trace(tracer)
+    tracer.calculate_witness(1, 1, 3)
+    witness, props = tracer.into_arp()
+    prover = Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=1)
+
+    # In the tiny field z can land inside the LDE domain and the prover
+    # (correctly) raises DivisionByZeroError — pick a corruption delta
+    # whose Fiat-Shamir z avoids it (deterministic once found)
+    from hodor_tpu.errors import DivisionByZeroError
+
+    corrupted = None
+    corrupted_blob = None
+    for delta in range(1, 40):
+        cand = [list(col) for col in witness]
+        cand[0][2] = (cand[0][2] + delta) % F257.p
+        try:
+            corrupted_blob = serialize_proof(prover.prove(cand), F257)
+            corrupted = cand
+            break
+        except DivisionByZeroError:
+            continue
+    assert corrupted is not None, "no corruption delta avoided div-zero"
+    singles = [serialize_proof(prover.prove(witness), F257), corrupted_blob]
+    batch = prover.prove_batch([witness, corrupted])
+    assert [serialize_proof(pf, F257) for pf in batch] == singles
+    assert Verifier(props, lde_factor=16).verify(batch[0])
+
+
+@pytest.mark.slow  # fallback is a one-line delegation; the fib test above is fast coverage
 def test_prove_batch_singleton_falls_back():
     witness, props = VDF(F_STARK, 2, 3, 7).into_arp()
     prover = Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=1)

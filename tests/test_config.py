@@ -33,6 +33,7 @@ def test_config_validation():
         ProofSystemConfig(iop_hash="poseidon")
 
 
+@pytest.mark.slow  # full prove comparison; attribute parity is cheap and fast
 def test_prover_from_config_matches_direct():
     witness, props = _fib()
     cfg = ProofSystemConfig(lde_factor=16, fri_final_degree_plus_one=1)

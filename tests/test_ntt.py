@@ -175,9 +175,9 @@ def test_lde_sequential_path_matches_batched(monkeypatch):
     import hodor_tpu.ntt as nttmod
 
     random.seed(63)
-    field = F_STARK
+    field = F257  # path selection is field-independent; 1-limb compiles fast
     ops = ops_for(field)
-    coeffs = ops.encode([random.randrange(field.p) for _ in range(64)])
+    coeffs = ops.encode([random.randrange(field.p) for _ in range(32)])  # 32*8 = 256 = F257's max domain
     for coset in (False, True):
         ref = np.asarray(nttmod.lde(ops, coeffs, 8, coset=coset))
         monkeypatch.setattr(nttmod, "_LDE_SEQUENTIAL_MIN", 1)

@@ -53,7 +53,12 @@ def test_pallas_mul_v2_matches_jnp(field):
     assert (np.asarray(out) == np.asarray(ref)).all()
 
 
-@pytest.mark.parametrize("field", [F257, F_STARK, F_BLS], ids=lambda f: f.name)
+@pytest.mark.parametrize(
+    "field",
+    [F257, F_STARK,
+     pytest.param(F_BLS, marks=pytest.mark.slow)],  # same limb count as F_STARK
+    ids=lambda f: f.name,
+)
 def test_pallas_wide_reduce_matmul_ntt(field):
     """The fused wide-reduce(+twiddle) kernel (interpret mode) must make
     the matmul NTT bit-identical to its jnp reduction path."""

@@ -78,6 +78,7 @@ def test_mesh_prove_byte_identical(mesh8):
     assert Verifier(props, lde_factor=16).verify(proof_mesh)
 
 
+@pytest.mark.slow  # the driver runs dryrun_multichip separately every round
 def test_dryrun_multichip_entry():
     import sys
 
@@ -106,7 +107,7 @@ def test_sharded_icoset_ntt_matches_single(mesh8):
     from hodor_tpu.ntt import icoset_ntt
     from hodor_tpu.parallel import sharded_icoset_ntt
 
-    field = F_STARK
+    field = F257  # layout logic is field-independent; 1-limb compiles fast
     ops = ops_for(field)
     random.seed(15)
     n = 32
@@ -122,7 +123,7 @@ def test_sharded_coset_lde_rows_matches_single(mesh8):
     ALI term evaluation: row-sharded four-step per coset."""
     from hodor_tpu.parallel import sharded_coset_lde_rows
 
-    field = F_STARK
+    field = F257  # layout logic is field-independent; 1-limb compiles fast
     ops = ops_for(field)
     random.seed(16)
     t, factor = 32, 2
