@@ -42,6 +42,25 @@ jax.config.update(
 # metric name so the number is never mistaken for a chip measurement.
 
 
+# the watchdog campaign (scripts/tpu_run3.sh) holds this pidfile while
+# it owns the chip; only ONE process may use the tunnel at a time, so
+# the driver-invoked bench waits for the campaign instead of colliding
+_CAMPAIGN_PID = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "scripts", ".tpu_campaign.pid")
+
+
+def _campaign_running() -> bool:
+    if os.environ.get("BENCH_IN_CAMPAIGN") == "1":
+        return False  # the campaign's own bench invocations never wait
+    try:
+        with open(_CAMPAIGN_PID) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def _tpu_available(wait_s: float) -> bool:
     import subprocess
 
@@ -49,8 +68,13 @@ def _tpu_available(wait_s: float) -> bool:
     first = True
     while first or time.time() < deadline:
         first = False
+        while _campaign_running() and time.time() < deadline + 3600:
+            # extend past the window: a finishing campaign means a warm
+            # chip + warm caches, the best possible bench conditions
+            print("# TPU campaign holds the chip; waiting 120s", file=sys.stderr)
+            time.sleep(120.0)
         t0 = time.time()
-        remaining = deadline - time.time()
+        remaining = max(deadline - time.time(), 60.0)
         try:
             rc = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],

@@ -10,6 +10,13 @@ cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
 QUAL=/root/repo/scripts/pallas_qual.json
 
+# chip mutex: the driver-invoked bench.py waits on this pidfile instead
+# of colliding with the campaign (one TPU process at a time); the
+# campaign's own bench calls skip the wait via BENCH_IN_CAMPAIGN
+echo $$ > /root/repo/scripts/.tpu_campaign.pid
+trap 'rm -f /root/repo/scripts/.tpu_campaign.pid' EXIT
+export BENCH_IN_CAMPAIGN=1
+
 # ground truth for the correctness check (CPU backend, fast)
 timeout 900  python scripts/tpu_bench.py expected
 
