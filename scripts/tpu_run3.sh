@@ -20,6 +20,14 @@ export BENCH_IN_CAMPAIGN=1
 # ground truth for the correctness check (CPU backend, fast)
 timeout 900  python scripts/tpu_bench.py expected
 
+# GUARANTEED EARLY NUMBER: the pure-XLA matmul NTT (round-1-proven
+# compile, no Mosaic risk) lands a 2^16 chip measurement before the
+# qualification pass, which can take up to ~1h if remote Mosaic compiles
+# hang. If the grant window is short, at least this is recorded.
+HODOR_DISABLE_PALLAS=1 timeout 2400 python scripts/tpu_bench.py check
+HODOR_DISABLE_PALLAS=1 timeout 2400 python scripts/tpu_bench.py ntt 16
+HODOR_DISABLE_PALLAS=1 BENCH_LOG_N=16 timeout 2400 python bench.py
+
 # ---- kernel qualification (no HODOR_PALLAS_QUAL in env yet!) ----
 timeout 2700 python scripts/tpu_qualify.py
 # per-kernel retry of anything the first pass never reached; a kernel
