@@ -66,9 +66,11 @@ def get_mask_from_boundary_constraint(masks: Dict[MaskProperties, None], bc) -> 
 
 
 def _density_key(d) -> Tuple:
-    if isinstance(d, DenseConstraint):
-        return ("dense", d.start_at, d.span)
-    raise NotImplementedError("only Dense density is implemented (as in the reference)")
+    # all three densities are supported (beyond the reference, which
+    # `unimplemented!()`s Repeated/Sparse downstream) — see air/density.py
+    from ..air.density import density_key
+
+    return density_key(d)
 
 
 class ALIInstance:
@@ -132,21 +134,29 @@ class ALIInstance:
             rows.setdefault(bc.at_row, None)
         self._boundary_rows = list(rows.keys())
 
+        from ..air.density import density_divisor_spec
+
         density_roots = {}
+        density_consts = {}
+        self._density_specs = {}
         for key in self.batches:
-            _, start_at, span = key
+            e, c_exp, excluded, included = density_divisor_spec(
+                key, self.column_domain.size, props.num_rows
+            )
             g = self.column_domain.generator
-            roots = [self.field.pow(g, i) for i in range(start_at)]
-            roots += [
-                self.field.pow(g, i)
-                for i in range(props.num_rows - span, self.column_domain.size)
-            ]
-            density_roots[key] = ops.encode(roots)
+            self._density_specs[key] = e
+            if e:
+                density_roots[key] = ops.encode([self.field.pow(g, r) for r in excluded])
+                density_consts[key] = ops.encode([self.field.pow(g, c_exp)])[0]
+            else:  # sparse: the roots ARE the vanishing polynomial
+                density_roots[key] = ops.encode([self.field.pow(g, r) for r in included])
         boundary_roots = ops.encode(
             [self.field.pow(self.column_domain.generator, r) for r in self._boundary_rows]
         ) if self._boundary_rows else None
 
-        precomp = jax.jit(self._precompute_traced)(density_roots, boundary_roots)
+        precomp = jax.jit(self._precompute_traced)(
+            density_roots, density_consts, boundary_roots
+        )
         self.coset_values = precomp["coset"]
         self.constraint_divisors: Dict[Tuple, jnp.ndarray] = precomp["divisors"]
         self.boundary_divisors: Dict[int, jnp.ndarray] = {
@@ -270,7 +280,7 @@ class ALIInstance:
         )
         return batch_values
 
-    def _precompute_traced(self, density_roots, boundary_roots):
+    def _precompute_traced(self, density_roots, density_consts, boundary_roots):
         ops = self.ops
         d_size = self.constraints_domain.size
         coset = ops.powers(
@@ -279,18 +289,35 @@ class ALIInstance:
             start=ops.const(self.field.generator),
         )  # (D, L)
 
-        # Z(x) = x^T - 1 over the coset, inverted once and shared
-        xt = ops.pow_static(coset, self.column_domain.size)
-        z_vals = ops.sub(xt, jnp.broadcast_to(ops.one_m, xt.shape))
+        # vanishing-polynomial values per density batch over the coset
+        # (air/density.py divisor form), all inverted in ONE fused batch
+        # inverse; subgroup-type densities (dense/repeated, exponent e>0)
+        # are Z = x^e - c with excluded roots multiplied back after the
+        # inverse, sparse densities are a direct root product.
+        z_parts = []
+        for key, roots in density_roots.items():
+            e = self._density_specs[key]
+            if e:
+                xt = ops.pow_static(coset, e)
+                z = ops.sub(xt, jnp.broadcast_to(density_consts[key], xt.shape))
+            else:
+                z = ops.sub(coset, roots[0])
+                for i in range(1, roots.shape[0]):
+                    z = ops.mul(z, ops.sub(coset, roots[i]))
+            z_parts.append(z)
 
         divisors = {}
-        z_inv = ops.batch_inverse(z_vals) if density_roots else None
-        for key, roots in density_roots.items():
-            inv = z_inv
-            nroots = roots.shape[0]
-            for i in range(nroots):
-                inv = ops.mul(inv, ops.sub(coset, roots[i]))
-            divisors[key] = inv
+        if z_parts:
+            stacked = jnp.stack(z_parts)  # (nkeys, D, L)
+            inv_all = ops.batch_inverse(
+                stacked.reshape(-1, stacked.shape[-1])
+            ).reshape(stacked.shape)
+            for idx, (key, roots) in enumerate(density_roots.items()):
+                inv = inv_all[idx]
+                if self._density_specs[key]:  # excluded roots (e > 0 only)
+                    for i in range(roots.shape[0]):
+                        inv = ops.mul(inv, ops.sub(coset, roots[i]))
+                divisors[key] = inv
 
         if boundary_roots is not None:
             # 1/(x - root) for every boundary row, one fused batch inverse

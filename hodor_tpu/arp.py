@@ -147,18 +147,40 @@ class ARPInstance:
         num_rows = len(witness[0])
         w = ops.encode([list(c) for c in witness])  # (R, T, L)
 
+        from .air.density import density_active_rows, density_key
+
         for ci, c in enumerate(properties.constraints):
-            if not isinstance(c.density, DenseConstraint):
-                raise NotImplementedError("only dense density is implemented downstream")
-            start, span = c.density.start_at, c.density.span
-            limit = num_rows - span
-            if limit <= start:
-                continue
-            vals = _eval_constraint_rows(ops, c, w, start, limit)
+            if isinstance(c.density, DenseConstraint):
+                # contiguous fast path: one slice per term
+                start, span = c.density.start_at, c.density.span
+                limit = num_rows - span
+                if limit <= start:
+                    continue
+                vals = _eval_constraint_rows(ops, c, w, start, limit)
+                rows = None
+            else:
+                # repeated/sparse (beyond the reference's DensityQuery,
+                # src/arp/density_query.rs): gather the active rows
+                rows = density_active_rows(density_key(c.density), num_rows)
+                if not rows:
+                    continue
+                max_delta = max(
+                    (u.steps_difference.value
+                     for t in c.terms
+                     for u in ([t] if isinstance(t, UnivariateTerm) else t.terms)),
+                    default=0,
+                )
+                if max(rows) + max_delta >= num_rows:
+                    raise TracingError(
+                        f"constraint {ci} density references row "
+                        f"{max(rows) + max_delta} beyond the trace"
+                    )
+                vals = _eval_constraint_at_rows(ops, c, w, np.asarray(rows))
             nz = np.nonzero(~np.asarray(jax.device_get(ops.is_zero(vals))))[0]
             if nz.size:
+                bad = (start + int(nz[0])) if rows is None else rows[int(nz[0])]
                 raise UnsatisfiedError(
-                    f"constraint {ci} ({c.describe()}) unsatisfied at row {start + int(nz[0])}"
+                    f"constraint {ci} ({c.describe()}) unsatisfied at row {bad}"
                 )
 
         for bc in properties.boundary_constraints:
@@ -193,6 +215,33 @@ def _eval_univariate_rows(ops: LimbOps, term: UnivariateTerm, w, start: int, lim
     v = ops.pow_static(seg, term.power)
     coeff = ops.const(term.coeff % ops.field.p)
     return ops.mul(v, coeff)
+
+
+def _eval_univariate_at_rows(ops: LimbOps, term: UnivariateTerm, w, rows):
+    assert term.steps_difference.kind == "steps"
+    delta = term.steps_difference.value
+    seg = jnp.take(w[term.register.index], jnp.asarray(rows) + delta, axis=0)
+    v = ops.pow_static(seg, term.power)
+    return ops.mul(v, ops.const(term.coeff % ops.field.p))
+
+
+def _eval_constraint_at_rows(ops: LimbOps, c: Constraint, w, rows):
+    """Constraint values at an arbitrary row set (repeated/sparse
+    densities; dense uses the contiguous-slice fast path above)."""
+    acc = jnp.broadcast_to(
+        ops.encode([c.constant_term % ops.field.p])[0], (len(rows), ops.n16)
+    )
+    for t in c.terms:
+        if isinstance(t, UnivariateTerm):
+            acc = ops.add(acc, _eval_univariate_at_rows(ops, t, w, rows))
+        else:
+            prod = None
+            for u in t.terms:
+                v = _eval_univariate_at_rows(ops, u, w, rows)
+                prod = v if prod is None else ops.mul(prod, v)
+            prod = ops.mul(prod, ops.const(t.coeff % ops.field.p))
+            acc = ops.add(acc, prod)
+    return acc
 
 
 def _eval_constraint_rows(ops: LimbOps, c: Constraint, w, start: int, limit: int):

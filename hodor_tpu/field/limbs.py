@@ -43,6 +43,12 @@ def _pallas_enabled(kernel: str | None = None) -> bool:
                                         bad compile degrades to the jnp
                                         path instead of killing a prove
 
+    If HODOR_PALLAS_QUAL is unset, the default manifest written by the
+    on-chip campaign (scripts/pallas_qual.json) is used when it exists,
+    so any process on a machine where qualification has run — including
+    the driver-invoked bench.py — engages exactly the qualified kernel
+    set with no environment plumbing.
+
     Kernel names: mul, addsub, wide_reduce, blake2s, fri_fold,
     dft_reduce."""
     import json
@@ -54,6 +60,17 @@ def _pallas_enabled(kernel: str | None = None) -> bool:
         if os.environ.get(f"HODOR_DISABLE_PALLAS_{kernel.upper()}") == "1":
             return False
         qual_path = os.environ.get("HODOR_PALLAS_QUAL")
+        if qual_path == "none":
+            # sentinel used by scripts/tpu_qualify.py: kernels must stay
+            # enabled while being qualified, or the checks pass vacuously
+            qual_path = None
+        elif not qual_path:
+            default_qual = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+                "scripts", "pallas_qual.json")
+            if os.path.exists(default_qual):
+                qual_path = default_qual
         if qual_path:
             try:
                 with open(qual_path) as f:

@@ -880,7 +880,7 @@ def pallas_addsub(field: Field, a, b, mode: str, interpret: bool = False):
 # never touch HBM.
 
 
-def _dft_reduce_kernel(n, chain, p_list, sp, c_count, has_tw, *refs):
+def _dft_reduce_kernel(n, chain, p_list, sp, c_count, has_tw, dot_impl, *refs):
     if has_tw:
         (w_ref, wsum_ref, x_ref, tw_ref, p_ref, pinv_ref, o_ref,
          acc_ref, macc_ref, sx_ref) = refs
@@ -900,11 +900,30 @@ def _dft_reduce_kernel(n, chain, p_list, sp, c_count, has_tw, *refs):
             jnp.sum(xi, axis=0)[None, :] + 128 * sp, sx_ref.shape
         )
 
-    # one (S, SP) @ (SP, LANES) s8 dot on the MXU -> int32 columns
-    d = jax.lax.dot_general(
-        w_ref[0], x_ref[:, 0, :], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (S, LANES)
+    # one (S, SP) @ (SP, LANES) dot on the MXU -> int32 columns
+    if dot_impl == "s8":
+        d = jax.lax.dot_general(
+            w_ref[0], x_ref[:, 0, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (S, LANES)
+    else:
+        # "bf16c": the s8 dot crashed the remote Mosaic compiler (HTTP
+        # 500, round-3 qualification) — run the contraction as chunked
+        # bf16 MXU dots instead. Exact by construction: s8 values are
+        # integers <= 128 (exact in bf16), each product is exact in the
+        # f32 accumulator, and a 512-term chunk sums to <= 512*2^14 =
+        # 2^23 < 2^24, inside f32's exact-integer range. Chunk results
+        # convert to int32 and accumulate on the VPU.
+        ch = min(512, sp)
+        d = jnp.zeros((S, LANES), jnp.int32)
+        for k0 in range(0, sp, ch):
+            wf = w_ref[0, :, k0:k0 + ch].astype(jnp.bfloat16)
+            xf = x_ref[k0:k0 + ch, 0, :].astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                wf, xf, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            d = d + part.astype(jnp.int32)
     col = (
         d + sx_ref[0, :][None, :] * 128 + wsum_ref[0] * 128
         - (128 * 128) * sp
@@ -991,14 +1010,15 @@ def _dft_reduce_kernel(n, chain, p_list, sp, c_count, has_tw, *refs):
 
 
 @lru_cache(maxsize=None)
-def _dft_reduce_call(field: Field, chain, size: int, has_tw: bool, interpret: bool):
+def _dft_reduce_call(field: Field, chain, size: int, has_tw: bool,
+                     dot_impl: str, interpret: bool):
     n = field.n16
     P = 2 * n
     SP = size * P
     C = 4 * n - 1
     p_list = tuple(int(v) for v in int_to_limbs(field.p, n))
     pinv_list = tuple(int(v) for v in int_to_limbs(field.p_inv_neg, n))
-    kern = partial(_dft_reduce_kernel, n, chain, p_list, SP, C, has_tw)
+    kern = partial(_dft_reduce_kernel, n, chain, p_list, SP, C, has_tw, dot_impl)
     p_arr = np.broadcast_to(
         np.asarray(p_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
     ).copy()
@@ -1042,10 +1062,12 @@ def _dft_reduce_call(field: Field, chain, size: int, has_tw: bool, interpret: bo
 
 
 def pallas_dft_reduce(field: Field, w_s8, w_sum_b, x_s8, chain, tw4=None,
-                      interpret: bool = False):
+                      dot_impl: str = "s8", interpret: bool = False):
     """Fused radix-`size` DFT matmul + wide Montgomery reduction
-    (+ optional twiddle). See _dft_reduce_kernel."""
+    (+ optional twiddle). dot_impl selects the in-kernel MXU contraction:
+    "s8" (native int8 dot) or "bf16c" (chunked bf16 dots, exact; the
+    fallback for Mosaic builds that reject the int8 matmul). See
+    _dft_reduce_kernel."""
     size = w_s8.shape[1]
-    return _dft_reduce_call(field, chain, size, tw4 is not None, interpret)(
-        w_s8, w_sum_b, x_s8, tw4
-    )
+    return _dft_reduce_call(field, chain, size, tw4 is not None, dot_impl,
+                            interpret)(w_s8, w_sum_b, x_s8, tw4)

@@ -245,8 +245,33 @@ _FORCE_PALLAS = None
 # interpret-mode kernel for CPU tests
 _FORCE_FUSED = None
 
+# in-kernel contraction for the fused kernel: None = auto (prefer the
+# native "s8" int8 dot when qualified, else the chunked-"bf16c" form
+# when that qualified); "s8"/"bf16c" force one (tests, HODOR_NTT_FUSED_IMPL)
+_FUSED_IMPL = None
 
-def _dft_matmul_fused(ops: LimbOps, x, size: int, inverse: bool, tw, interpret: bool):
+
+def _fused_dot_impl() -> str | None:
+    """Which in-kernel dot the fused kernel should use, or None when
+    neither variant is available (qualification manifest gating)."""
+    import os
+
+    from ..field.limbs import _pallas_enabled as _pe
+
+    if _FUSED_IMPL is not None:
+        return _FUSED_IMPL
+    env = os.environ.get("HODOR_NTT_FUSED_IMPL")
+    if env in ("s8", "bf16c"):
+        return env
+    if _pe("dft_reduce"):
+        return "s8"
+    if _pe("dft_reduce_bf16"):
+        return "bf16c"
+    return None
+
+
+def _dft_matmul_fused(ops: LimbOps, x, size: int, inverse: bool, tw, interpret: bool,
+                      dot_impl: str = "s8"):
     """DFT + wide Montgomery reduce as ONE Pallas kernel: the s8 MXU dot
     runs inside the kernel, so the (4n-1, S, M) int32 column intermediate
     (252 B/element, ~4x the data) never round-trips HBM. Bit-exact with
@@ -287,7 +312,8 @@ def _dft_matmul_fused(ops: LimbOps, x, size: int, inverse: bool, tw, interpret: 
         tuple(int(v) for v in mult) for mult in _reduction_chain(field, size)
     )
     out = pallas_dft_reduce(
-        field, w_s8, w_sum_b, x_s8, chain, tw4, interpret=interpret
+        field, w_s8, w_sum_b, x_s8, chain, tw4, dot_impl=dot_impl,
+        interpret=interpret
     )  # (m_tiles, L, S, LANES)
     o = jnp.transpose(out, (2, 0, 3, 1)).reshape(size, m, L)  # (S, M, L)
     return jnp.moveaxis(o, 0, 1).reshape(lead + (size, L))
@@ -323,14 +349,16 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
     from ..field.limbs import _pallas_enabled as _pe
     from ..field.pallas_kernels import LANES as _LANES
 
+    fused_impl = _fused_dot_impl()
     use_fused = _FORCE_FUSED == "interpret" or (
         _FORCE_FUSED is None
         and os.environ.get("HODOR_NTT_FUSED")
-        and _pe("dft_reduce")
+        and fused_impl is not None
     )
     if use_fused and size == 128 and m % _LANES == 0 and m >= _LANES:
         return _dft_matmul_fused(
-            ops, x, size, inverse, tw, interpret=_FORCE_FUSED == "interpret"
+            ops, x, size, inverse, tw, interpret=_FORCE_FUSED == "interpret",
+            dot_impl=fused_impl or "s8",
         )
 
     w_s8, w_sum, _cnt = _dft_matrix_folded_s8(field, size, inverse)

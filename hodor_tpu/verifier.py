@@ -17,6 +17,7 @@ from .air.constraint import (
     PolyvariateTerm,
     UnivariateTerm,
 )
+from .air.density import density_key, inverse_divisor_at
 from .ali.instance import (
     MaskProperties,
     get_mask_from_boundary_constraint,
@@ -59,23 +60,11 @@ def _evaluate_constraint_on_f_at_z_m(field: Field, c: Constraint,
 def _inverse_divisor_for_dense_constraint(
     field: Field, x: int, column_domain: Domain, dense: DenseConstraint, num_rows: int
 ) -> int:
-    """Scalar divisor at x (src/verifier/mod.rs:635-677)."""
-    divisor_domain_size = column_domain.size
-    q_at_x = (field.pow(x, divisor_domain_size) - 1) % field.p
-    if q_at_x == 0:
-        raise DivisionByZeroError("no inverse for dense constraint divisor")
-    inv = field.inv(q_at_x)
-    g = column_domain.generator
-    root = 1
-    for _ in range(dense.start_at):
-        inv = inv * ((x - root) % field.p) % field.p
-        root = root * g % field.p
-    last_step = num_rows - dense.span
-    root = field.pow(g, last_step)
-    for _ in range(last_step, divisor_domain_size):
-        inv = inv * ((x - root) % field.p) % field.p
-        root = root * g % field.p
-    return inv
+    """Scalar divisor at x (src/verifier/mod.rs:635-677). Thin delegate
+    to the shared all-density implementation (air/density.py)."""
+    return inverse_divisor_at(
+        field, x, column_domain, ("dense", dense.start_at, dense.span), num_rows
+    )
 
 
 class Verifier:
@@ -108,9 +97,7 @@ class Verifier:
 
         self.batches: Dict[Tuple, List[Constraint]] = {}
         for c in properties.constraints:
-            d = c.density
-            key = ("dense", d.start_at, d.span)
-            self.batches.setdefault(key, []).append(c)
+            self.batches.setdefault(density_key(c.density), []).append(c)
 
         for bc in properties.boundary_constraints:
             get_mask_from_boundary_constraint(masks, bc)
@@ -224,10 +211,8 @@ class Verifier:
 
         ch_iter = iter(constraint_challenges)
         for key, batch in self.batches.items():
-            _, start_at, span = key
-            inverse_divisor = _inverse_divisor_for_dense_constraint(
-                field, z, self.column_domain, DenseConstraint(start_at, span),
-                self.instance.num_rows,
+            inverse_divisor = inverse_divisor_at(
+                field, z, self.column_domain, key, self.instance.num_rows
             )
             for c in batch:
                 alpha, beta = next(ch_iter)

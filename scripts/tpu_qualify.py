@@ -33,7 +33,10 @@ import jax
 jax.config.update(
     "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_hodor_tpu")
 )
-os.environ.pop("HODOR_PALLAS_QUAL", None)
+# "none" sentinel (not just unset): limbs._pallas_enabled auto-detects
+# the default manifest when the var is absent, which would route the
+# "actual" side of every check to the jnp path mid-qualification
+os.environ["HODOR_PALLAS_QUAL"] = "none"
 
 import numpy as np
 
@@ -41,7 +44,12 @@ QUAL_PATH = os.environ.get(
     "HODOR_QUAL_OUT", os.path.join(os.path.dirname(__file__), "pallas_qual.json")
 )
 
-KERNELS = ["addsub", "mul", "wide_reduce", "blake2s", "fri_fold", "dft_reduce"]
+KERNELS = [
+    "addsub", "mul", "wide_reduce", "blake2s", "fri_fold",
+    "s8dot",          # diagnostic: in-kernel int8 MXU dot alone
+    "dft_reduce",     # fused dot+reduce, native s8 contraction
+    "dft_reduce_bf16",  # fused dot+reduce, chunked-bf16 contraction
+]
 
 
 def _load():
@@ -152,7 +160,7 @@ def check_fri_fold(field, ops):
         fr._FORCE_PALLAS = None
 
 
-def check_dft_reduce(field, ops):
+def _check_dft_reduce_impl(field, ops, impl):
     # EXPERIMENTAL fused dot+reduce: needs size=128 and batch m >= 128
     from hodor_tpu.ntt import matmul as mm
 
@@ -165,13 +173,49 @@ def check_dft_reduce(field, ops):
         ref.block_until_ready()
         mm._FORCE_PALLAS = "off"  # isolate the fused kernel itself
         mm._FORCE_FUSED = None
+        mm._FUSED_IMPL = impl
         os.environ["HODOR_NTT_FUSED"] = "1"
         got = jax.jit(lambda a: mm._dft_matmul(ops, a, 128, False))(x)
         return _eq(got, ref)
     finally:
         mm._FORCE_PALLAS = None
         mm._FORCE_FUSED = None
+        mm._FUSED_IMPL = None
         os.environ.pop("HODOR_NTT_FUSED", None)
+
+
+def check_dft_reduce(field, ops):
+    return _check_dft_reduce_impl(field, ops, "s8")
+
+
+def check_dft_reduce_bf16(field, ops):
+    return _check_dft_reduce_impl(field, ops, "bf16c")
+
+
+def check_s8dot(field, ops):
+    """Diagnostic, gates nothing: a minimal Pallas kernel whose body is
+    ONLY an int8 dot_general. Round 3's dft_reduce failed the remote
+    Mosaic compile with an opaque HTTP 500; this isolates whether the
+    in-kernel int8 matmul is the construct the compiler rejects."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def kern(a_ref, b_ref, o_ref):
+        o_ref[...] = jax.lax.dot_general(
+            a_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    rng = np.random.default_rng(16)
+    a = rng.integers(-128, 128, size=(128, 512), dtype=np.int8)
+    b = rng.integers(-128, 128, size=(512, 128), dtype=np.int8)
+    got = pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((128, 128), jnp.int32)
+    )(jax.device_put(a), jax.device_put(b))
+    ref = a.astype(np.int32) @ b.astype(np.int32)
+    return _eq(got, ref)
 
 
 CHECKS = {
@@ -180,7 +224,9 @@ CHECKS = {
     "wide_reduce": check_wide_reduce,
     "blake2s": check_blake2s,
     "fri_fold": check_fri_fold,
+    "s8dot": check_s8dot,
     "dft_reduce": check_dft_reduce,
+    "dft_reduce_bf16": check_dft_reduce_bf16,
 }
 
 

@@ -169,11 +169,14 @@ def test_pallas_fri_fold_matches_jnp(field):
         fr._FORCE_PALLAS = old
 
 
-def test_pallas_fused_dft_reduce_matches_two_step():
+@pytest.mark.parametrize("dot_impl", ["s8", "bf16c"])
+def test_pallas_fused_dft_reduce_matches_two_step(dot_impl):
     """EXPERIMENTAL fused dot+reduce kernel (pallas_dft_reduce via
     _dft_matmul_fused): the in-kernel MXU dot + incremental column fold
     + Montgomery epilogue (+ fused twiddle) must be bit-exact with the
-    two-step XLA-dot + wide-reduce path, with and without twiddles."""
+    two-step XLA-dot + wide-reduce path, with and without twiddles —
+    for both the native-s8 and the chunked-bf16 contraction (the latter
+    is the fallback for Mosaic builds that reject the int8 matmul)."""
     import jax
     import jax.numpy as jnp
 
@@ -197,11 +200,13 @@ def test_pallas_fused_dft_reduce_matches_two_step():
         ref_plain = np.asarray(mm._dft_matmul(ops, x, 128, False))
         ref_tw = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
         mm._FORCE_FUSED = "interpret"
+        mm._FUSED_IMPL = dot_impl
         jax.clear_caches()
         fused_plain = np.asarray(mm._dft_matmul(ops, x, 128, False))
         fused_tw = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
     finally:
         mm._FORCE_FUSED = old
+        mm._FUSED_IMPL = None
         jax.clear_caches()
     assert (ref_plain == fused_plain).all()
     assert (ref_tw == fused_tw).all()
