@@ -189,6 +189,10 @@ def bench_prove():
                     "value": per_proof,
                     "unit": "s",
                     "vs_baseline": est_ref / per_proof,
+                    # VERDICT r03 item 8: named comparator fields so
+                    # BENCH_r0N values stay comparable across rounds
+                    "vs_cpu_estimate": est_ref / per_proof,
+                    "cold_prove_s": cold,
                 }
             )
         )
@@ -200,6 +204,8 @@ def bench_prove():
                 "value": warm,
                 "unit": "s",
                 "vs_baseline": est_ref / warm,
+                "vs_cpu_estimate": est_ref / warm,
+                "cold_prove_s": cold,
             }
         )
     )
@@ -257,6 +263,13 @@ def main():
                 "value": value,
                 "unit": "field_muls/s",
                 "vs_baseline": value / SOL_MULS_PER_S,
+                # VERDICT r03 item 8: r01 reported vs_baseline against the
+                # 6.4e8 CPU estimate, r03 against SOL — emit BOTH named
+                # fields permanently so driver numbers compare across rounds
+                "vs_sol": value / SOL_MULS_PER_S,
+                "vs_cpu_estimate": value / BASELINE_MULS_PER_S,
+                "ms_per_transform": dt * 1e3,
+                "compile_s": compile_s,
             }
         )
     )

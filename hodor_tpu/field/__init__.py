@@ -12,7 +12,7 @@ Here the same capability is split into:
   arithmetic vectorized over jnp uint32 arrays, TPU-friendly (no u64).
 """
 
-from .field import Field, F257, F_STARK, F_BLS
+from .field import Field, F257, F_STARK, F_BLS, F_P63
 from .limbs import LimbOps, ops_for
 
-__all__ = ["Field", "F257", "F_STARK", "F_BLS", "LimbOps", "ops_for"]
+__all__ = ["Field", "F257", "F_STARK", "F_BLS", "F_P63", "LimbOps", "ops_for"]

@@ -183,6 +183,19 @@ F_BLS = Field(
     name="F_BLS",
 )
 
+# Not in the reference: a 63-bit prime 2147483641*2^32 + 1 (generator 3,
+# 2-adicity 32). Added because the framework is generic over the modulus
+# anyway and a single-u64-repr field compiles ~16x smaller mul graphs
+# than F_STARK (n16 = 4 vs 16), which makes it the right field for
+# compile-time-sensitive paths: the driver's multichip dryrun and fast
+# CI shapes. Unlike F257 (also 4 limbs) its 2^63 size makes DEEP's
+# "mask*z in the LDE domain" collision probability negligible
+# (~domain/2^63) where F257 fails outright at useful shapes. 63 bits
+# (not the 64-bit Goldilocks prime) because the relaxed Montgomery
+# reduce needs num_bits <= 16*n16 - 1: u = (t + m*p)/R < 2p must fit n
+# limbs (see LimbOps.__init__'s headroom assertion).
+F_P63 = Field(p=2147483641 * (1 << 32) + 1, generator=3, name="F_P63")
+
 
 @lru_cache(maxsize=None)
 def _check(field: Field) -> None:

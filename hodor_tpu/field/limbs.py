@@ -260,6 +260,18 @@ class LimbOps:
         self.field = field
         n16 = field.n16
         self.n16 = n16
+        # Headroom invariant of the relaxed Montgomery reduce: the
+        # pre-subtraction value u = (t + m*p)/R < 2p must fit n16 limbs,
+        # so p needs at least one spare top bit (t + m*p < 2pR must fit
+        # 2*n16 limbs). A field at exactly 16*n16 bits (e.g. the 64-bit
+        # Goldilocks prime in 4 limbs) silently drops the top carry and
+        # produces wrong products.
+        if field.num_bits > 16 * n16 - 1:
+            raise ValueError(
+                f"{field}: num_bits={field.num_bits} needs headroom; "
+                f"the u16-limb Montgomery kernels require num_bits <= "
+                f"{16 * n16 - 1} for n16={n16} limbs"
+            )
         self.p_limbs = jnp.asarray(int_to_limbs(field.p, n16))
         self.pinv_limbs = jnp.asarray(int_to_limbs(field.p_inv_neg, n16))
         self.zero_m = jnp.asarray(int_to_limbs(0, n16))

@@ -894,7 +894,7 @@ def _dft_reduce_kernel(n, chain, p_list, sp, c_count, has_tw, dot_impl, *refs):
     @pl.when(c == 0)
     def _init():
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.uint32)
-        xi = x_ref[:, 0, :].astype(jnp.int32)  # (SP, LANES)
+        xi = x_ref[0].astype(jnp.int32)  # (SP, LANES)
         # sx[m] = sum_j,q xb = sum x_s8 + 128*SP (broadcast row)
         sx_ref[...] = jnp.broadcast_to(
             jnp.sum(xi, axis=0)[None, :] + 128 * sp, sx_ref.shape
@@ -903,22 +903,22 @@ def _dft_reduce_kernel(n, chain, p_list, sp, c_count, has_tw, dot_impl, *refs):
     # one (S, SP) @ (SP, LANES) dot on the MXU -> int32 columns
     if dot_impl == "s8":
         d = jax.lax.dot_general(
-            w_ref[0], x_ref[:, 0, :], (((1,), (0,)), ((), ())),
+            w_ref[0], x_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (S, LANES)
     else:
-        # "bf16c": the s8 dot crashed the remote Mosaic compiler (HTTP
-        # 500, round-3 qualification) — run the contraction as chunked
-        # bf16 MXU dots instead. Exact by construction: s8 values are
-        # integers <= 128 (exact in bf16), each product is exact in the
-        # f32 accumulator, and a 512-term chunk sums to <= 512*2^14 =
-        # 2^23 < 2^24, inside f32's exact-integer range. Chunk results
-        # convert to int32 and accumulate on the VPU.
+        # "bf16c": fallback for Mosaic builds that reject the in-kernel
+        # int8 matmul — run the contraction as chunked bf16 MXU dots.
+        # Exact by construction: s8 values are integers <= 128 (exact in
+        # bf16), each product is exact in the f32 accumulator, and a
+        # 512-term chunk sums to <= 512*2^14 = 2^23 < 2^24, inside f32's
+        # exact-integer range. Chunk results convert to int32 and
+        # accumulate on the VPU.
         ch = min(512, sp)
         d = jnp.zeros((S, LANES), jnp.int32)
         for k0 in range(0, sp, ch):
             wf = w_ref[0, :, k0:k0 + ch].astype(jnp.bfloat16)
-            xf = x_ref[k0:k0 + ch, 0, :].astype(jnp.bfloat16)
+            xf = x_ref[0, k0:k0 + ch, :].astype(jnp.bfloat16)
             part = jax.lax.dot_general(
                 wf, xf, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -1028,13 +1028,15 @@ def _dft_reduce_call(field: Field, chain, size: int, has_tw: bool,
 
     def call(w_s8, w_sum_b, x_s8, tw4):
         """w_s8 (C, S, SP) int8; w_sum_b (C, S, LANES) int32;
-        x_s8 (SP, m_tiles, LANES) int8; tw4 (m_tiles, n, S, LANES) or
-        None. Returns (m_tiles, n, S, LANES) Montgomery limbs."""
-        m_tiles = x_s8.shape[1]
+        x_s8 (m_tiles, SP, LANES) int8 — m_tiles LEADING so the block's
+        last two dims (SP, LANES) satisfy the Mosaic (8,128)-divisibility
+        rule for any m_tiles; tw4 (m_tiles, n, S, LANES) or None.
+        Returns (m_tiles, n, S, LANES) Montgomery limbs."""
+        m_tiles = x_s8.shape[0]
         grid = (m_tiles, C)
         wspec = pl.BlockSpec((1, size, SP), lambda i, c: (c, 0, 0))
         wsumspec = pl.BlockSpec((1, size, LANES), lambda i, c: (c, 0, 0))
-        xspec = pl.BlockSpec((SP, 1, LANES), lambda i, c: (0, i, 0))
+        xspec = pl.BlockSpec((1, SP, LANES), lambda i, c: (i, 0, 0))
         ospec = pl.BlockSpec((1, n, size, LANES), lambda i, c: (i, 0, 0, 0))
         const_spec = pl.BlockSpec((n, 1, LANES), lambda i, c: (0, 0, 0))
         in_specs = [wspec, wsumspec, xspec]

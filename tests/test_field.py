@@ -9,9 +9,9 @@ import random
 import numpy as np
 import pytest
 
-from hodor_tpu.field import F257, F_BLS, F_STARK, ops_for
+from hodor_tpu.field import F257, F_BLS, F_P63, F_STARK, ops_for
 
-FIELDS = [F257, F_STARK, F_BLS]
+FIELDS = [F257, F_STARK, F_BLS, F_P63]
 
 
 @pytest.mark.parametrize("field", FIELDS, ids=lambda f: f.name)
@@ -89,3 +89,16 @@ def test_montgomery_roundtrip():
     raw = L.unpack_ints(np.asarray(canonical))
     for i, x in enumerate(xs):
         assert int(raw[i]) == x % field.p
+
+
+def test_limb_headroom_invariant():
+    """The relaxed Montgomery reduce requires num_bits <= 16*n16 - 1
+    (u = (t + m*p)/R < 2p must fit n16 limbs). The 64-bit Goldilocks
+    prime violates it in 4 limbs and must be REJECTED, not silently
+    miscomputed (it proved-but-failed-verify when first tried)."""
+    from hodor_tpu.field.field import Field
+    from hodor_tpu.field.limbs import LimbOps
+
+    goldilocks = Field(p=(1 << 64) - (1 << 32) + 1, generator=7, name="goldi")
+    with pytest.raises(ValueError, match="headroom"):
+        LimbOps(goldilocks)
