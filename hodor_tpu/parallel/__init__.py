@@ -89,14 +89,111 @@ def four_step_ntt(ops: LimbOps, a, mesh: Mesh, axis: str = "shards",
     """Natural-order NTT of (N, L) via the four-step decomposition
     N = N1*N2 (N1 = mesh size), with the row axis sharded.
 
-    Steps (matching parallel_fft's structure, src/fft/fft.rs:68-125):
-      1. view a as A[j2, j1] with j = j1*N2 + j2  (reshape+transpose)
-      2. N1-point NTTs along columns (sharded over rows: needs transpose
-         -> all-to-all)
+    Two implementations:
+
+    - `_four_step_ntt_shardmap` (preferred, N >= mesh^2 and N2 % mesh
+      == 0): explicit shard_map with exactly THREE jax.lax.all_to_all
+      transposes (input corner-turn, middle transpose, output
+      interleave) and shard-local NTTs/twiddles — the textbook
+      distributed four-step schedule. No GSPMD resharding inference, so
+      no spurious all-gathers can appear (the HLO audit in
+      tests/test_parallel.py and the multi-process audit in
+      scripts/multihost_worker.py enforce this).
+    - `_four_step_ntt_gspmd` (fallback for tiny N, e.g. the multichip
+      dryrun's 32-point G domain): sharding-constraint form; GSPMD may
+      insert a gather on the final interleave, acceptable at these
+      sizes.
+
+    Structure matches parallel_fft (src/fft/fft.rs:68-125):
+      1. view a as A[j2, j1] with j = j1*N2 + j2  (corner turn)
+      2. N1-point NTTs along j1
       3. multiply by twiddles w^(k1*j2)
-      4. N2-point NTTs along rows (local)
+      4. N2-point NTTs along j2 (local)
       5. transpose to natural order X[k] with k = k2*N1 + k1
     """
+    n, L = a.shape
+    n1 = mesh.devices.size
+    n2 = n // n1
+    if n1 > 1 and n2 >= n1 and n2 % n1 == 0:
+        return _four_step_ntt_shardmap(ops, a, mesh, axis, inverse)
+    return _four_step_ntt_gspmd(ops, a, mesh, axis, inverse)
+
+
+def _four_step_twiddle_offsets(field, n: int, n1: int, n2p: int, inverse: bool):
+    """(n1, L) literal: row d = w^(d*n2') — the per-device base offset of
+    the step-3 twiddles (device d owns the j2 block [d*n2', (d+1)*n2'))."""
+    ops = ops_for(field)
+    domain = Domain.new_for_size(field, n)
+    g = domain.generator_inv if inverse else domain.generator
+    base = pow(g, n2p, field.p)
+    out = np.zeros((n1, field.n16), dtype=np.uint32)
+    v = 1
+    for d in range(n1):
+        from ..field.limbs import int_to_limbs
+
+        out[d] = int_to_limbs(field.to_mont(v), field.n16)
+        v = v * base % field.p
+    return out
+
+
+def _four_step_ntt_shardmap(ops: LimbOps, a, mesh: Mesh, axis: str,
+                            inverse: bool):
+    n, L = a.shape
+    n1 = mesh.devices.size
+    n2 = n // n1
+    n2p = n2 // n1  # j2 rows per device after the corner turn
+    field = ops.field
+    domain = Domain.new_for_size(field, n)
+    with jax.ensure_compile_time_eval():
+        g = domain.generator
+        om = ops.const(field.inv(g) if inverse else g)
+    offsets = jnp.asarray(
+        _four_step_twiddle_offsets(field, n, n1, n2p, inverse)
+    )  # (n1, L)
+
+    def _local(x_local):
+        # x_local (n2, L) = a[j1 = d, j2] for this device d
+        d = jax.lax.axis_index(axis)
+        # --- transpose 1 (corner turn): gather all j1 for my j2 block
+        x4 = x_local.reshape(n1, n2p, L)  # [j2 block b, j2l]
+        x4 = jax.lax.all_to_all(x4, axis, 0, 0, tiled=True)
+        x4 = x4.reshape(n1, n2p, L)  # [j1, j2l] (j2 = d*n2p + j2l)
+        # --- step 2: N1-point NTTs over j1
+        inner = ntt(ops, jnp.swapaxes(x4, 0, 1), inverse=inverse)  # [j2l, k1]
+        # --- step 3: twiddles w^(k1 * j2) with j2 = d*n2p + j2l
+        m = ops.mul(ops.powers(om, n2p), offsets[d][None, :])  # (n2p, L)
+
+        def _tw_step(cur, _):
+            return ops.mul(cur, m, allow_pallas=False), cur
+
+        ones = jnp.broadcast_to(ops.one_m, (n2p, L))
+        _, tw = jax.lax.scan(_tw_step, ones, None, length=n1)  # (n1=k1, n2p, L)
+        inner = ops.mul(inner, jnp.swapaxes(tw, 0, 1))
+        # --- transpose 2: gather all j2 for my k1 (= d)
+        b = jax.lax.all_to_all(inner, axis, 1, 0, tiled=True)  # (n2, 1, L)
+        b = b.reshape(n2, L)  # [j2] for k1 = d, j2 in natural order
+        # --- step 4: N2-point NTT over j2 (local)
+        outer = ntt(ops, b, inverse=inverse)  # [k2] for k1 = d
+        # --- transpose 3: natural-order interleave out[k2*n1 + k1]
+        o4 = outer.reshape(n1, n2p, L)  # [k2 block c, k2l]
+        o4 = jax.lax.all_to_all(o4, axis, 0, 0, tiled=True)
+        o4 = o4.reshape(n1, n2p, L)  # [k1, k2l] (k2 = d*n2p + k2l)
+        return jnp.swapaxes(o4, 0, 1).reshape(n2p * n1, L)  # [k2l*n1 + k1]
+
+    out = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(axis, None),
+        check_vma=False,  # blake2s/ntt fori carries mix literal inits
+        # with shard-varying data; computation is shard-local by design
+    )(a)
+    return out
+
+
+def _four_step_ntt_gspmd(ops: LimbOps, a, mesh: Mesh, axis: str = "shards",
+                         inverse: bool = False):
+    """Sharding-constraint form (fallback for N < mesh^2)."""
     n, L = a.shape
     n1 = mesh.devices.size
     n2 = n // n1

@@ -414,7 +414,20 @@ class Prover:
         times and fills the chip with B-way parallel work — a throughput
         mode the reference's one-proof-per-call API cannot express
         (src/prover/mod.rs:66). Each returned proof is byte-identical to
-        prove() of the same witness (tests/test_batch.py)."""
+        prove() of the same witness (tests/test_batch.py).
+
+        FALLBACK BEHAVIOR (deliberate, covered by
+        tests/test_batch.py::test_prove_batch_mesh_fallback): when a
+        `mesh` was passed to the Prover, when B == 1, or when the
+        instance has no constraints or no boundary constraints, the
+        batch degrades to sequential `prove()` calls — proofs stay
+        byte-identical, only the batching throughput is lost. The
+        mesh case is intentional: the vmapped stages and the shard_map
+        sharded stages are alternative ways to fill the chip (batch axis
+        vs domain axis); composing them (vmap over shard_map) multiplies
+        per-device memory by B at configs[3]-scale domains, which is the
+        regime meshes exist to avoid. Batch under a mesh therefore means
+        "distribute each proof, run proofs sequentially"."""
         if (
             self.mesh is not None
             or len(witnesses) == 1

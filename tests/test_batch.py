@@ -86,3 +86,25 @@ def test_prove_batch_singleton_falls_back():
     baseline = serialize_proof(prover.prove(witness), F_STARK)
     (proof,) = prover.prove_batch([witness])
     assert serialize_proof(proof, F_STARK) == baseline
+
+
+def test_prove_batch_mesh_fallback():
+    """Documented behavior (Prover.prove_batch docstring): under a mesh
+    the batch deliberately degrades to sequential distributed proves —
+    proofs must be byte-identical both to each other per-witness and to
+    the meshless prove. Uses F_P63 (4-limb field) so the sharded
+    pipeline compiles in seconds."""
+    from hodor_tpu.field import F_P63
+    from hodor_tpu.parallel import make_mesh
+
+    witness, props = VDF(F_P63, 1, 2, 15).into_arp()
+    mesh = make_mesh(8)
+    prover_mesh = Prover(
+        props.clone(), lde_factor=8, fri_final_degree_plus_one=1, mesh=mesh
+    )
+    batch = prover_mesh.prove_batch([witness, witness])
+    blobs = [serialize_proof(pf, F_P63) for pf in batch]
+    assert blobs[0] == blobs[1]
+    plain = Prover(props.clone(), lde_factor=8, fri_final_degree_plus_one=1)
+    assert serialize_proof(plain.prove(witness), F_P63) == blobs[0]
+    assert Verifier(props, lde_factor=8).verify(batch[0])
