@@ -121,12 +121,48 @@ def unpack_ints(limbs) -> np.ndarray:
 
 # ------------------------------------------------------- low-level helpers
 
+@lru_cache(maxsize=1)
+def _scan_carries() -> bool:
+    """Carry chains as lax.scan (tiny traced body, one HLO while-loop)
+    instead of an unrolled Python loop (n_out repeated add/mask/shift
+    blocks). The unrolled form lets XLA fuse the whole chain into few
+    kernels — right for the TPU fallback path — but it is why one
+    F_STARK Montgomery mul traces to ~300 ops and every jit of every
+    shape costs minutes cold (VERDICT r03: 42-min cold test suite,
+    2-minute dryrun compiles). On CPU backends (tests, the driver's
+    multichip dryrun) compile time dominates runtime, so scan wins.
+    Override with HODOR_SCAN_CARRIES=0/1."""
+    import os
+
+    v = os.environ.get("HODOR_SCAN_CARRIES")
+    if v in ("0", "1"):
+        return v == "1"
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
 def _carry_propagate(cols, n_out: int):
     """cols: (..., >=n_out) uint32 with values < 2^22; returns (..., n_out)
     fully carried 16-bit limbs (any final carry beyond n_out is dropped)."""
+    ncols = cols.shape[-1]
+    if _scan_carries():
+        if ncols < n_out:
+            cols = jnp.concatenate(
+                [cols, jnp.zeros(cols.shape[:-1] + (n_out - ncols,), jnp.uint32)],
+                axis=-1,
+            )
+        x = jnp.moveaxis(cols[..., :n_out], -1, 0)  # (n_out, ...)
+
+        def body(carry, c):
+            t = c + carry
+            return t >> 16, t & MASK16
+
+        _, out = jax.lax.scan(body, jnp.zeros(x.shape[1:], jnp.uint32), x)
+        return jnp.moveaxis(out, 0, -1)
     outs = []
     carry = jnp.zeros(cols.shape[:-1], jnp.uint32)
-    ncols = cols.shape[-1]
     for k in range(n_out):
         t = (cols[..., k] if k < ncols else jnp.zeros_like(carry)) + carry
         outs.append(t & MASK16)
@@ -229,6 +265,19 @@ def _mul_lo(a, b, n: int):
 def _sub_with_borrow(a, b):
     """Limbwise a - b; returns (diff limbs, borrow flag (0/1) per element)."""
     n = a.shape[-1]
+    if _scan_carries():
+        av = jnp.moveaxis(a, -1, 0)
+        bv = jnp.moveaxis(b, -1, 0)
+
+        def body(borrow, ab):
+            ak, bk = ab
+            t = ak + jnp.uint32(0x10000) - bk - borrow
+            return jnp.uint32(1) - (t >> 16), t & MASK16
+
+        borrow, out = jax.lax.scan(
+            body, jnp.zeros(a.shape[:-1], jnp.uint32), (av, bv)
+        )
+        return jnp.moveaxis(out, 0, -1), borrow
     outs = []
     borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
     for k in range(n):

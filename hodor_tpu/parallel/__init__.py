@@ -74,6 +74,8 @@ def sharded_lde(ops: LimbOps, coeffs, factor: int, mesh: Mesh, coset: bool = Fal
         mesh=mesh,
         in_specs=(P(), P(axis, None, None)),
         out_specs=P(*([None] * n_lead), axis, None, None),
+        check_vma=False,  # scan-carry inits are literal zeros (unvarying)
+        # mixed with shard-varying data; computation is shard-local
     )(coeffs, pw)  # (..., factor, T, L) coset-sharded
     evals = jnp.swapaxes(evals, -3, -2)  # (..., T, factor, L)
     out = evals.reshape(evals.shape[:-3] + (t * factor, L))

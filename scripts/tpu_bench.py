@@ -79,7 +79,7 @@ def _time_ntt(log_n, kernel_name):
     t0 = time.time()
     jfn(x).block_until_ready()
     print(f"# compile+first {time.time()-t0:.1f}s")
-    reps = 5 if log_n <= 20 else 3
+    reps = int(os.environ.get("NTT_REPS", "5" if log_n <= 20 else "3"))
     t0 = time.time()
     out = None
     for _ in range(reps):
@@ -89,6 +89,36 @@ def _time_ntt(log_n, kernel_name):
     muls = (1 << log_n) // 2 * log_n
     print(
         f"{kernel_name} ntt 2^{log_n}: {dt*1e3:.2f} ms, {muls/dt:.3e} field-muls/s"
+    )
+
+
+def _time_ntt_batch(log_n, batch):
+    """B transforms in ONE jitted program (leading batch axis): separates
+    per-dispatch overhead (tunnel RTT, XLA launch) from per-byte device
+    cost. If ms/transform here is far below the single-transform number,
+    the single-transform wall is dispatch-bound, not HBM/MXU-bound."""
+    from hodor_tpu.field import F_STARK, ops_for
+    from hodor_tpu.ntt.matmul import ntt_matmul
+
+    ops = ops_for(F_STARK)
+    rng = np.random.default_rng(5)
+    xs = np.stack([_rand_input(log_n, ops.n16, F_STARK.num_bits) for _ in range(batch)])
+    x = jax.device_put(xs)
+    jfn = jax.jit(lambda a: ntt_matmul(ops, a))
+    t0 = time.time()
+    jfn(x).block_until_ready()
+    print(f"# compile+first {time.time()-t0:.1f}s")
+    reps = int(os.environ.get("NTT_REPS", "5"))
+    t0 = time.time()
+    out = None
+    for _ in range(reps):
+        out = jfn(x)
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps / batch
+    muls = (1 << log_n) // 2 * log_n
+    print(
+        f"matmul ntt 2^{log_n} x{batch}: {dt*1e3:.2f} ms/transform, "
+        f"{muls/dt:.3e} field-muls/s"
     )
 
 
@@ -182,6 +212,8 @@ if __name__ == "__main__":
         _time_ntt(int(sys.argv[2]), "pease")
     elif cmd == "kernels":
         cmd_kernels()
+    elif cmd == "nttb":
+        _time_ntt_batch(int(sys.argv[2]), int(sys.argv[3]))
     elif cmd == "fused":
         # EXPERIMENTAL single-kernel dot+reduce path (pallas_dft_reduce)
         os.environ["HODOR_NTT_FUSED"] = "1"
