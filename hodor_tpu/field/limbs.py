@@ -217,18 +217,30 @@ def _conv_matrix(n: int) -> np.ndarray:
     return e
 
 
+def _outer_flat(a, b):
+    """(..., n) x (..., n) -> (..., n*n) elementwise partial products
+    prod[i*n+j] = a_i * b_j, built WITHOUT a (..., n, n) intermediate:
+    a trailing dim of n (16) tile-pads to 128 lanes on TPU — 8x memory —
+    and XLA materialized exactly that shape at 32 GiB inside the 2^20-row
+    cubic stage1 compile (campaign r04 step 29: `u32[4,1048576,16,16]
+    {T(8,128)} would exceed memory`). The flattened n*n (256) minor dim
+    is tile-exact."""
+    n = a.shape[-1]
+    lead = a.shape[:-1]
+    a_e = jnp.broadcast_to(a[..., :, None], lead + (n, n)).reshape(lead + (n * n,))
+    b_e = jnp.broadcast_to(b[..., None, :], lead + (n, n)).reshape(lead + (n * n,))
+    return a_e * b_e
+
+
 def _mul_cols(a, b):
     """Schoolbook column sums of two (..., n)-limb numbers -> (..., 2n)
     uncarried columns (each < 2^22): split each 32-bit partial product
     into 16-bit halves, then scatter-sum via one dot_general."""
     n = a.shape[-1]
-    prod = a[..., :, None] * b[..., None, :]  # (..., n, n) uint32, exact
+    prod = _outer_flat(a, b)  # (..., n*n) uint32, exact
     lo = prod & MASK16
     hi = prod >> 16
-    flat = jnp.concatenate(
-        [lo.reshape(a.shape[:-1] + (n * n,)), hi.reshape(a.shape[:-1] + (n * n,))],
-        axis=-1,
-    ).astype(jnp.int32)
+    flat = jnp.concatenate([lo, hi], axis=-1).astype(jnp.int32)
     e = jnp.asarray(_conv_matrix(n))
     cols = jax.lax.dot_general(
         flat, e, (((flat.ndim - 1,), (0,)), ((), ())),
@@ -241,9 +253,9 @@ def _carryless_mul_cols_trunc(a, b, n_out: int):
     """Column sums of a*b truncated to the low n_out columns (mod 2^(16*n_out)),
     inputs proper 16-bit limbs, output relaxed columns < 2^21."""
     n = a.shape[-1]
-    prod = a[..., :, None] * b[..., None, :]
-    lo = (prod & MASK16).reshape(a.shape[:-1] + (n * n,))
-    hi = (prod >> 16).reshape(a.shape[:-1] + (n * n,))
+    prod = _outer_flat(a, b)
+    lo = prod & MASK16
+    hi = prod >> 16
     flat = jnp.concatenate([lo, hi], axis=-1)
     e = np.concatenate(
         [_conv_matrix_plain(n, n_out), _conv_matrix_shift(n, n_out)], axis=0
@@ -425,9 +437,7 @@ class LimbOps:
         hi6 = t_lo >> 16  # < 2^6
         pinv = jnp.broadcast_to(self.pinv_limbs, lo16.shape)
         m_cols = _carryless_mul_cols_trunc(lo16, pinv, n)
-        hi_prod = (hi6[..., :, None] * pinv[..., None, :]).reshape(
-            lo16.shape[:-1] + (n * n,)
-        )
+        hi_prod = _outer_flat(hi6, pinv)  # (..., n*n), tile-exact minor
         m_cols = m_cols + _dot_i32(hi_prod, _conv_matrix_shift(n, n))
         m = _carry_propagate(m_cols, n)  # exact 16-bit limbs of m
 
