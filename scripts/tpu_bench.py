@@ -153,6 +153,55 @@ def cmd_kernels():
         print(f"{name} 2^20 elements: {dt*1e3:.3f} ms, {n/dt:.3e} field-ops/s")
 
 
+def cmd_fri(log_h1):
+    """Time + profile the FRI pair ladder (h1 = 2^log_h1, h2 = 2*h1) on
+    random Montgomery values — the 2^16-row prove spends 74% of its warm
+    wall here (3.35s of 4.5s, run4 step_24), so this isolates whether
+    that is fold kernels, per-round tree hashing, or dispatch."""
+    import glob
+    import gzip
+    import json as js
+
+    from hodor_tpu.field import F_STARK, ops_for
+    from hodor_tpu.fri.fri import NaiveFriIop
+
+    ops = ops_for(F_STARK)
+    h1 = jax.device_put(_rand_input(log_h1, ops.n16, F_STARK.num_bits, seed=11))
+    h2 = jax.device_put(_rand_input(log_h1 + 1, ops.n16, F_STARK.num_bits, seed=12))
+
+    def run():
+        p1, p2 = NaiveFriIop.proofs_from_lde_pair(h1, h2, 16, 1, F_STARK)
+        return p1, p2
+
+    t0 = time.time()
+    run()
+    print(f"# fri pair compile+first {time.time()-t0:.1f}s")
+    reps = int(os.environ.get("NTT_REPS", "3"))
+    t0 = time.time()
+    for _ in range(reps):
+        run()
+    dt = (time.time() - t0) / reps
+    print(f"fri pair h1=2^{log_h1}: {dt*1e3:.1f} ms/ladder-pair")
+
+    tdir = "/tmp/hodor_trace_fri"
+    jax.profiler.start_trace(tdir)
+    run()
+    jax.profiler.stop_trace()
+    traces = sorted(glob.glob(tdir + "/**/*.trace.json.gz", recursive=True))
+    if traces:
+        with gzip.open(traces[-1], "rt") as f:
+            data = js.load(f)
+        durs = {}
+        for ev in data.get("traceEvents", []):
+            if ev.get("ph") == "X" and "dur" in ev:
+                name = ev.get("name", "?")
+                durs[name] = durs.get(name, 0) + ev["dur"]
+        total = sum(durs.values())
+        print(f"total traced {total/1e3:.2f} ms")
+        for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"  {d/1e3:9.3f} ms  {name[:110]}")
+
+
 def cmd_profile(log_n):
     import glob
     import gzip
@@ -212,6 +261,8 @@ if __name__ == "__main__":
         _time_ntt(int(sys.argv[2]), "pease")
     elif cmd == "kernels":
         cmd_kernels()
+    elif cmd == "fri":
+        cmd_fri(int(sys.argv[2]))
     elif cmd == "nttb":
         _time_ntt_batch(int(sys.argv[2]), int(sys.argv[3]))
     elif cmd == "fused":

@@ -73,4 +73,8 @@ step 900 4800 python scripts/tpu_bench.py ntt 24
 NTT_REPS=50 step 300 2400 python scripts/tpu_bench.py ntt 16
 step 400 3600 python scripts/tpu_bench.py nttb 16 8
 
+# FRI ladder isolation: 74% of the 2^16-row prove's warm wall is the
+# fri pair (run4 step_24); time + device-trace it at prove scale
+step 600 4800 python scripts/tpu_bench.py fri 20
+
 echo "=== tpu_run4b done ==="
