@@ -111,7 +111,7 @@ else:
 
 import numpy as np
 
-from hodor_tpu.field import F257, F_BLS, F_STARK, ops_for
+from hodor_tpu.field import F257, F_BLS, F_P63, F_STARK, ops_for
 from hodor_tpu.ntt import ntt
 from hodor_tpu.ntt.matmul import ntt_matmul
 
@@ -124,7 +124,7 @@ BASELINE_MULS_PER_S = 6.4e8
 # yardstick; the 6.4e8 multicore-CPU estimate is printed secondary.
 SOL_MULS_PER_S = 4e10
 
-FIELDS = {"F_STARK": F_STARK, "F_BLS": F_BLS, "F257": F257}
+FIELDS = {"F_STARK": F_STARK, "F_BLS": F_BLS, "F257": F257, "F_P63": F_P63}
 
 
 def _reference_prove_estimate_s(prover, t_rows: int, lde_factor: int) -> float:

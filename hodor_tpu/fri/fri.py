@@ -252,12 +252,10 @@ def fri_chain_pair_batch(field: Field, h1_b, h2_b, lde_factor: int,
     vmapped program per (sizes, steps, drop) so repeat batches reuse it."""
     ops = ops_for(field)
     from ..merkle.tree import tree_drop_min
-    from ..ntt import _omega_table
+    from ..ntt import omega_table_device
 
     sizes = (h1_b.shape[1], h2_b.shape[1])
-    oms = tuple(
-        jnp.asarray(_omega_table(field, log2_floor(n), True)) for n in sizes
-    )
+    oms = tuple(omega_table_device(field, log2_floor(n), True) for n in sizes)
     idpos = tuple(n // lde_factor for n in sizes)
     steps = tuple(
         log2_floor(d // output_coeffs_at_degree_plus_one) for d in idpos
@@ -332,10 +330,11 @@ class NaiveFriIop:
         assert output_coeffs_at_degree_plus_one & (output_coeffs_at_degree_plus_one - 1) == 0
         assert lde_factor & (lde_factor - 1) == 0
 
-        from ..ntt import _omega_table
+        from ..ntt import omega_table_device
 
-        # host-cached twiddle table (no eager device dispatches)
-        omegas_inv = jnp.asarray(_omega_table(field, log2_floor(n), True))  # (N/2, L)
+        # device-computed twiddle table (a >=256 MB host upload of the
+        # host-cached form killed the axon backend - see ntt._omega_table)
+        omegas_inv = omega_table_device(field, log2_floor(n), True)  # (N/2, L)
 
         initial_degree_plus_one = n // lde_factor
         num_steps = log2_floor(initial_degree_plus_one // output_coeffs_at_degree_plus_one)
@@ -361,12 +360,10 @@ class NaiveFriIop:
         single device program + a single batched host fetch (roots and
         final coefficients of both chains in one transfer)."""
         ops = ops_for(field)
-        from ..ntt import _omega_table
+        from ..ntt import omega_table_device
 
         sizes = (lde1.shape[0], lde2.shape[0])
-        oms = tuple(
-            jnp.asarray(_omega_table(field, log2_floor(n), True)) for n in sizes
-        )
+        oms = tuple(omega_table_device(field, log2_floor(n), True) for n in sizes)
         idpos = tuple(n // lde_factor for n in sizes)
         steps = tuple(
             log2_floor(d // output_coeffs_at_degree_plus_one) for d in idpos

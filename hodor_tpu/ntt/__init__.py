@@ -96,7 +96,13 @@ def _pease_tables(log_n: int):
 
 @lru_cache(maxsize=None)
 def _omega_table(field: Field, log_n: int, inverse: bool):
-    """(N/2, L) powers of the domain generator (or its inverse)."""
+    """(N/2, L) powers of the domain generator (or its inverse), as a
+    HOST numpy array (for compile-time-eval embedding in small graphs).
+    For large tables prefer `omega_table_device`: this form re-uploads
+    through the tunnel at use sites, and a single >=256 MB host->device
+    transfer has been observed to kill the axon backend with
+    ResourceExhausted (run4b step_1: the 2^18-row prove died uploading
+    the h2 = 2^23 FRI table while the chip had >12 GiB free)."""
     ops = ops_for(field)
     n = 1 << log_n
     domain = Domain.new_for_size(field, n)
@@ -104,6 +110,21 @@ def _omega_table(field: Field, log_n: int, inverse: bool):
     with jax.ensure_compile_time_eval():
         table = np.asarray(jax.device_get(ops.powers(ops.const(omega), max(n // 2, 1))))
     return table
+
+
+@lru_cache(maxsize=None)
+def omega_table_device(field: Field, log_n: int, inverse: bool):
+    """(N/2, L) omega powers COMPUTED ON DEVICE (one jitted log-doubling
+    powers program; only the (L,) seed crosses the tunnel). Cached per
+    (field, log_n, inverse) so repeat proves reuse the resident array."""
+    ops = ops_for(field)
+    n = 1 << log_n
+    domain = Domain.new_for_size(field, n)
+    omega = domain.generator_inv if inverse else domain.generator
+    seed = ops.const(omega)
+    return jax.jit(
+        lambda s: ops.powers(s, max(n // 2, 1)), static_argnums=()
+    )(seed)
 
 
 # stages <= this are unrolled (better fusion); above, the fori_loop
@@ -271,8 +292,42 @@ def lde(ops: LimbOps, coeffs, factor: int, coset: bool = False):
         pw = jax.vmap(lambda g: ops.powers(g, t))(gens)  # (factor, T, L)
         shifted = ops.mul(coeffs[..., None, :, :], pw)  # (..., factor, T, L)
         evals = ntt(ops, shifted)
-    evals = jnp.swapaxes(evals, -3, -2)  # (..., T, factor, L)
-    return evals.reshape(evals.shape[:-3] + (t * factor, L))
+    return _interleave(evals, t, factor, L)
+
+
+# Above this many u32 elements the natural-order interleave transpose is
+# row-chunked: XLA materializes the (..., T, factor, L) transpose with
+# the (factor=16, L=16) pair in the tiled minor dims, padding BOTH 16s
+# toward the (8, 128) tile — an 8x expansion that hit 16 GiB (= all of
+# HBM) at the 2^20-row prove's f-LDE (run4b step_2: `u32[2,1048576,16,16]
+# {2,1,3,0:T(8,128)} ... Extra memory due to padding: 14.00G`). Chunking
+# bounds the padded temp to ~chunk*factor*512 bytes per map step.
+_INTERLEAVE_CHUNK_MIN = 1 << 27
+_INTERLEAVE_ROWS = 1 << 14
+
+
+def _interleave(evals, t: int, factor: int, L: int):
+    """(..., factor, T, L) -> (..., T*factor, L) natural-order
+    interleave: out[j*factor + c] = evals[c, j]."""
+    lead = evals.shape[:-3]
+    if t * factor * L * int(np.prod(lead, dtype=np.int64) or 1) < _INTERLEAVE_CHUNK_MIN:
+        ev = jnp.swapaxes(evals, -3, -2)  # (..., T, factor, L)
+        return ev.reshape(lead + (t * factor, L))
+    flat = evals.reshape((-1, factor, t, L))
+    rows = min(_INTERLEAVE_ROWS, t)
+    outs = []
+    for b in range(flat.shape[0]):
+        ev_b = flat[b]  # (factor, T, L)
+
+        def _chunk(j0, ev_b=ev_b):
+            sl = jax.lax.dynamic_slice_in_dim(ev_b, j0, rows, axis=1)
+            return jnp.swapaxes(sl, 0, 1).reshape(rows * factor, L)
+
+        out_b = jax.lax.map(_chunk, jnp.arange(t // rows) * rows)
+        outs.append(out_b.reshape(t * factor, L))
+    # lead dims looped in Python (they are tiny - the register count):
+    # stacking is a concat, not a transpose, so no padded materialization
+    return jnp.stack(outs, axis=0).reshape(lead + (t * factor, L))
 
 
 def evaluate_at(ops: LimbOps, coeffs, x_limbs):

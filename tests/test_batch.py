@@ -91,9 +91,12 @@ def test_prove_batch_singleton_falls_back():
 def test_prove_batch_mesh_fallback():
     """Documented behavior (Prover.prove_batch docstring): under a mesh
     the batch deliberately degrades to sequential distributed proves —
-    proofs must be byte-identical both to each other per-witness and to
-    the meshless prove. Uses F_P63 (4-limb field) so the sharded
-    pipeline compiles in seconds."""
+    the two batch entries must be byte-identical (same witness through
+    the same sequential path) and verify. Uses F_P63 (4-limb field) so
+    the sharded pipeline compiles in seconds. Byte-identity of a MESH
+    prove against the meshless prove is separately covered by
+    tests/test_distributed.py (this test used to re-prove meshless and
+    was the slowest item of the cold suite at 204 s)."""
     from hodor_tpu.field import F_P63
     from hodor_tpu.parallel import make_mesh
 
@@ -105,6 +108,4 @@ def test_prove_batch_mesh_fallback():
     batch = prover_mesh.prove_batch([witness, witness])
     blobs = [serialize_proof(pf, F_P63) for pf in batch]
     assert blobs[0] == blobs[1]
-    plain = Prover(props.clone(), lde_factor=8, fri_final_degree_plus_one=1)
-    assert serialize_proof(plain.prove(witness), F_P63) == blobs[0]
     assert Verifier(props, lde_factor=8).verify(batch[0])
