@@ -186,3 +186,43 @@ def test_lde_sequential_path_matches_batched(monkeypatch):
         monkeypatch.undo()
         jax.clear_caches()
         assert (ref == seq).all()
+
+def test_interleave_chunked_path_matches_direct(monkeypatch):
+    """The row-chunked LDE interleave (engages above _INTERLEAVE_CHUNK_MIN
+    elements — the direct transpose's 8x tile padding OOM'd the 2^20-row
+    prove, see ntt._interleave) must be bit-identical to the direct
+    swapaxes form, including with leading batch dims."""
+    import numpy as np
+
+    import hodor_tpu.ntt as nttmod
+
+    random.seed(64)
+    field = F257
+    ops = ops_for(field)
+    for lead in ((), (3,)):
+        shape = lead + (32,)
+        vals = [random.randrange(field.p) for _ in range(int(np.prod(shape)))]
+        coeffs = ops.encode(np.array(vals).reshape(shape))
+        ref = np.asarray(nttmod.lde(ops, coeffs, 8, coset=True))
+        monkeypatch.setattr(nttmod, "_INTERLEAVE_CHUNK_MIN", 1)
+        monkeypatch.setattr(nttmod, "_INTERLEAVE_ROWS", 8)
+        jax.clear_caches()
+        chunked = np.asarray(nttmod.lde(ops, coeffs, 8, coset=True))
+        monkeypatch.undo()
+        jax.clear_caches()
+        assert (ref == chunked).all()
+
+
+def test_omega_table_device_matches_host():
+    """omega_table_device (device log-doubling powers; replaces the
+    >=256 MB host literal upload that killed the axon backend) must
+    reproduce the host-cached _omega_table bit-exactly."""
+    import numpy as np
+
+    from hodor_tpu.ntt import _omega_table, omega_table_device
+
+    for field in (F257, F_STARK):
+        for inverse in (False, True):
+            host = np.asarray(_omega_table(field, 5, inverse))
+            dev = np.asarray(omega_table_device(field, 5, inverse))
+            assert (host == dev).all()
