@@ -1073,3 +1073,228 @@ def pallas_dft_reduce(field: Field, w_s8, w_sum_b, x_s8, chain, tw4=None,
     size = w_s8.shape[1]
     return _dft_reduce_call(field, chain, size, tw4 is not None, dot_impl,
                             interpret)(w_s8, w_sum_b, x_s8, tw4)
+
+
+# ------------------------------------------------- NTT level kernel (v2)
+# The v1 fused kernel (_dft_reduce_kernel) folds the byte-plane
+# convolution into the W operand: W grows to (C, S, S*P) int8 = 33 MB at
+# n16 = 16, and every grid tile re-fetches all C blocks — ~33 MB of W
+# traffic PER 16k-element tile (at N = 2^24 that is ~34 GB per level,
+# several times the data itself), and the MXU contracts C = 4n-1 dots of
+# depth S*P where the underlying algebra needs only P dots of depth S.
+# It also takes pre-encoded int8 planes, so the host graph pays an
+# encode pass plus layout transposes per level.
+#
+# v2 restructures the same exact integer computation:
+#   * W is the PLAIN byte-plane DFT matrix, (P*S, S) bf16 = 1 MB,
+#     fetched ONCE per level (constant BlockSpec) and VMEM-resident
+#     across every grid tile — W traffic drops ~33 GB -> ~1 MB/level.
+#   * x arrives as (m_tiles, n16, S, LANES) uint32 Montgomery limbs —
+#     the kernel's OWN output layout — and the byte-plane encode happens
+#     in VMEM, so the host graph needs one transpose per level and no
+#     s8 encode pass.
+#   * the contraction runs as P dots of depth S (one per x byte plane
+#     qj): Z[(qi,k), m] = sum_j Wb[k,j,qi] * xb[j,qj,m]; the base-256
+#     column c = qi + qj accumulates in a P-slot ring buffer (column c
+#     is complete once qj = c, so live columns never exceed P). This
+#     halves MXU work vs the folded form (P*S*S*P vs C*S*S*P MACs).
+#   * bf16 operands make every product EXACT with no offset tricks:
+#     bytes <= 255 are exact in bf16, each product < 2^16 is exact in
+#     the f32 accumulator, and a depth-128 dot sums to < 2^23 < 2^24.
+#     (No -128 offset => no sx/wsum correction terms at all.)
+# The epilogue (A/B fold -> carry -> m -> m*p -> carry -> cond-sub
+# chain -> optional fused twiddle Montgomery-mul) is the proven v1
+# structure, bit-exact with ntt.matmul._mont_reduce_wide.
+#
+# Bounds: ring column <= P pairs * (S * 255 * 255) < 2^28 (uint32 ok,
+# and under the < 2^31 bound the A/B fold analysis needs); acc rows
+# follow the _wide_reduce_kernel analysis unchanged.
+
+
+def _ntt_level_kernel(n, chain, p_list, has_tw, *refs):
+    """One radix-S NTT level: in-VMEM byte encode + plane-dot DFT +
+    wide Montgomery reduce + optional fused twiddle.
+
+    Blocks: w_ref (P*S, S) bf16 byte planes, row (qi*S + k), col j =
+    byte qi of W[k, j]; x_ref / o_ref / tw_ref (1, n, S, LANES) uint32
+    limb-major tiles; scratch xp_ref (P, S, LANES) bf16 planes of x,
+    win_ref (2n+1, S, LANES) uint32 (column ring during the dot loop,
+    macc during the epilogue), acc_ref (2n+1, S, LANES) uint32."""
+    if has_tw:
+        (w_ref, x_ref, tw_ref, p_ref, pinv_ref, o_ref,
+         xp_ref, win_ref, acc_ref) = refs
+    else:
+        (w_ref, x_ref, p_ref, pinv_ref, o_ref,
+         xp_ref, win_ref, acc_ref) = refs
+    P = 2 * n
+    S = x_ref.shape[2]
+    zeros_block = jnp.zeros((S, LANES), jnp.uint32)
+
+    # byte-plane encode in VMEM (limbs are proper 16-bit, so >> 8 needs
+    # no mask); integers < 256 are exact in bf16
+    for limb in range(n):
+        v = x_ref[0, limb]
+        xp_ref[2 * limb] = (v & 0xFF).astype(jnp.int32).astype(jnp.bfloat16)
+        xp_ref[2 * limb + 1] = (v >> 8).astype(jnp.int32).astype(jnp.bfloat16)
+
+    win_ref[...] = jnp.zeros(win_ref.shape, jnp.uint32)
+    acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.uint32)
+
+    def fold(c, colv):
+        # base-256 column c -> relaxed 16-bit limbs (A/B split), c static
+        half = c // 2
+        if c % 2 == 0:
+            acc_ref[pl.ds(half, 1)] += colv[None]
+        else:
+            acc_ref[pl.ds(half, 1)] += ((colv & 0xFF) << 8)[None]
+            acc_ref[pl.ds(half + 1, 1)] += (colv >> 8)[None]
+
+    # qi chunk size: bounds the (qchunk*S, LANES) f32 dot output in VMEM
+    qchunk = min(8, P)
+    assert P % qchunk == 0
+    w = w_ref[:]  # (P*S, S) bf16, VMEM-resident for the whole level
+    for qj in range(P):
+        xq = xp_ref[qj]  # (S, LANES) bf16
+        for qc in range(P // qchunk):
+            z = jax.lax.dot_general(
+                w[qc * qchunk * S:(qc + 1) * qchunk * S], xq,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (qchunk*S, LANES) exact integers < 2^23
+            zu = z.astype(jnp.int32).astype(jnp.uint32).reshape(
+                qchunk, S, LANES
+            )
+            # rows qi = qc*qchunk + r feed ring slot (qj + qi) mod P
+            s0 = (qj + qc * qchunk) % P
+            if s0 + qchunk <= P:
+                win_ref[pl.ds(s0, qchunk)] += zu
+            else:
+                k1 = P - s0
+                win_ref[pl.ds(s0, k1)] += zu[:k1]
+                win_ref[pl.ds(0, qchunk - k1)] += zu[k1:]
+        # column qj is complete (no qj' > qj contributes); fold and free
+        # its slot for column qj + P (first written at step qj + 1)
+        fold(qj, win_ref[qj % P])
+        win_ref[pl.ds(qj % P, 1)] = zeros_block[None]
+
+    for c in range(P, 2 * P - 1):
+        fold(c, win_ref[c % P])
+
+    # ---- epilogue: identical structure to _dft_reduce_kernel ----
+    p_arr = p_ref[:]  # (n, 1, LANES)
+    pinv_arr = pinv_ref[:]
+
+    def tchain(k, carry):
+        t = acc_ref[k] + carry
+        acc_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, 2 * n, tchain, zeros_block)
+
+    win_ref[...] = jnp.zeros(win_ref.shape, jnp.uint32)  # macc role
+
+    def p2(i, _):
+        ti = acc_ref[i]
+        pr = ti[None, :, :] * pinv_arr
+        win_ref[pl.ds(i, n)] += pr & MASK16
+        win_ref[pl.ds(i + 1, n)] += pr >> 16
+        return 0
+
+    jax.lax.fori_loop(0, n, p2, 0)
+
+    def mchain(k, carry):
+        t = win_ref[k] + carry
+        win_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, n, mchain, zeros_block)
+
+    def p3(i, _):
+        mi = win_ref[i]
+        pr = mi[None, :, :] * p_arr
+        acc_ref[pl.ds(i, n)] += pr & MASK16
+        acc_ref[pl.ds(i + 1, n)] += pr >> 16
+        return 0
+
+    jax.lax.fori_loop(0, n, p3, 0)
+
+    def uchain(k, carry):
+        t = acc_ref[k] + carry
+        acc_ref[k] = t & MASK16
+        return t >> 16
+
+    jax.lax.fori_loop(0, 2 * n, uchain, zeros_block)
+
+    u = [acc_ref[n + k] for k in range(n)]
+    for mult in chain:
+        u = _cond_sub_ints(u, mult, n)
+    o_ref[0] = jnp.stack(u, axis=0)
+
+    if has_tw:
+        _mont_mul_phases(
+            n, o_ref.at[0], tw_ref[0], o_ref.at[0],
+            acc_ref, win_ref, p_arr, pinv_arr, zeros_block,
+        )
+
+
+@lru_cache(maxsize=None)
+def _ntt_level_call(field: Field, chain, size: int, has_tw: bool,
+                    interpret: bool):
+    n = field.n16
+    P = 2 * n
+    p_list = tuple(int(v) for v in int_to_limbs(field.p, n))
+    pinv_list = tuple(int(v) for v in int_to_limbs(field.p_inv_neg, n))
+    kern = partial(_ntt_level_kernel, n, chain, p_list, has_tw)
+    p_arr = np.broadcast_to(
+        np.asarray(p_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+    pinv_arr = np.broadcast_to(
+        np.asarray(pinv_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
+    ).copy()
+
+    def call(w2, x4, tw4):
+        """w2 (P*size, size) bf16; x4 (m_tiles, n, size, LANES) uint32;
+        tw4 (m_tiles, n, size, LANES) or None.
+        Returns (m_tiles, n, size, LANES) Montgomery limbs."""
+        m_tiles = x4.shape[0]
+        grid = (m_tiles,)
+        wspec = pl.BlockSpec((P * size, size), lambda i: (0, 0))
+        tilespec = pl.BlockSpec((1, n, size, LANES), lambda i: (i, 0, 0, 0))
+        const_spec = pl.BlockSpec((n, 1, LANES), lambda i: (0, 0, 0))
+        in_specs = [wspec, tilespec]
+        args = [w2, x4]
+        if has_tw:
+            in_specs.append(tilespec)
+            args.append(tw4)
+        in_specs += [const_spec, const_spec]
+        args += [jnp.asarray(p_arr), jnp.asarray(pinv_arr)]
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct(
+                (m_tiles, n, size, LANES), jnp.uint32
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=tilespec,
+            scratch_shapes=[
+                pltpu.VMEM((P, size, LANES), jnp.bfloat16),
+                pltpu.VMEM((2 * n + 1, size, LANES), jnp.uint32),
+                pltpu.VMEM((2 * n + 1, size, LANES), jnp.uint32),
+            ],
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def pallas_ntt_level(field: Field, w2, x4, chain, tw4=None,
+                     interpret: bool = False):
+    """v2 fused NTT level: in-VMEM byte encode + plane-dot DFT + wide
+    Montgomery reduce (+ optional fused twiddle). See _ntt_level_kernel.
+
+    w2: (2*n16*size, size) bf16 byte-plane DFT matrix (row qi*size + k,
+    col j = byte qi of W[k, j]); x4/tw4: (m_tiles, n16, size, LANES)
+    uint32 limb-major tiles."""
+    size = w2.shape[1]
+    return _ntt_level_call(field, chain, size, tw4 is not None,
+                           interpret)(w2, x4, tw4)

@@ -236,6 +236,18 @@ def _mont_reduce_wide(ops: LimbOps, cols, radix: int):
     return u
 
 
+@lru_cache(maxsize=None)
+def _dft_matrix_planes_v2(field: Field, size: int, inverse: bool):
+    """(P*size, size) bf16 plane matrix for the v2 level kernel: row
+    (qi*size + k), column j holds byte qi of W[k, j] (P = 2*n16 byte
+    planes). Bytes <= 255 are exact in bf16."""
+    import ml_dtypes
+
+    planes = _dft_matrix_bytes(field, size, inverse)  # (S, S, P) f32 bytes
+    w2 = np.transpose(planes, (2, 0, 1)).reshape(-1, size)  # (P*S, S)
+    return np.ascontiguousarray(w2.astype(ml_dtypes.bfloat16))
+
+
 # test hook: None = auto (real TPU only); "interpret" forces the Pallas
 # wide-reduce path in interpret mode so CPU tests can cover it
 _FORCE_PALLAS = None
@@ -244,6 +256,11 @@ _FORCE_PALLAS = None
 # when HODOR_NTT_FUSED is set AND on real TPU; "interpret" forces the
 # interpret-mode kernel for CPU tests
 _FORCE_FUSED = None
+
+# v2 level kernel (pallas_ntt_level): None = auto (qualified + real
+# TPU); "interpret" forces interpret mode for CPU tests; "on" forces the
+# real kernel regardless of the manifest (qualification); False disables
+_FORCE_V2 = None
 
 # in-kernel contraction for the fused kernel: None = auto (prefer the
 # native "s8" int8 dot when qualified, else the chunked-"bf16c" form
@@ -322,6 +339,41 @@ def _dft_matmul_fused(ops: LimbOps, x, size: int, inverse: bool, tw, interpret: 
     return jnp.moveaxis(o, 0, 1).reshape(lead + (size, L))
 
 
+def _dft_matmul_fused_v2(ops: LimbOps, x, size: int, inverse: bool, tw,
+                         interpret: bool):
+    """v2 NTT level (pallas_ntt_level): u32 limb-major tiles in and out
+    (in-kernel byte encode; 1 MB VMEM-resident plane-W; plane-dot ring
+    accumulation — see field/pallas_kernels.py). The host graph around
+    the kernel is ONE transpose on each side, which XLA fuses with the
+    four-step swapaxes of the surrounding levels."""
+    from ..field.pallas_kernels import LANES, pallas_ntt_level
+
+    field = ops.field
+    L = ops.n16
+    lead = x.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    m_tiles = m // LANES
+    w2 = jnp.asarray(_dft_matrix_planes_v2(field, size, inverse))
+
+    x4 = jnp.transpose(
+        x.reshape(m_tiles, LANES, size, L), (0, 3, 2, 1)
+    )  # (m_tiles, L, S, LANES)
+    tw4 = None
+    if tw is not None:
+        twf = jnp.broadcast_to(tw, lead + (size, L)).reshape(
+            m_tiles, LANES, size, L
+        )
+        tw4 = jnp.transpose(twf, (0, 3, 2, 1))
+
+    chain = tuple(
+        tuple(int(v) for v in mult) for mult in _reduction_chain(field, size)
+    )
+    out = pallas_ntt_level(
+        field, w2, x4, chain, tw4, interpret=interpret
+    )  # (m_tiles, L, S, LANES)
+    return jnp.transpose(out, (0, 3, 2, 1)).reshape(lead + (size, L))
+
+
 def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
     """Batched size-point DFT over axis -2 via ONE fused s8 MXU matmul.
 
@@ -361,6 +413,20 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
     # transform is exactly 128 points) is gated by its own diagnostic
     # manifest entry because its Mosaic compile fails where the deployed
     # with-twiddle shape compiles fine.
+    # v2 level kernel first: strictly less HBM traffic (resident 1 MB W,
+    # in-kernel encode, u32-native layout) and half the MXU work of v1.
+    # HODOR_NTT_V2=0 is the kill-switch; the qualification manifest
+    # ("ntt_level") gates it on real hardware like every other kernel.
+    use_v2 = _FORCE_V2 in ("interpret", "on") or (
+        _FORCE_V2 is None
+        and os.environ.get("HODOR_NTT_V2", "1") != "0"
+        and _pe("ntt_level")
+    )
+    if use_v2 and size == 128 and m % _LANES == 0 and m >= _LANES:
+        return _dft_matmul_fused_v2(
+            ops, x, size, inverse, tw, interpret=_FORCE_V2 == "interpret"
+        )
+
     use_fused = _FORCE_FUSED == "interpret" or (
         _FORCE_FUSED is None
         and os.environ.get("HODOR_NTT_FUSED", "1") != "0"

@@ -50,6 +50,7 @@ KERNELS = [
     "dft_reduce",     # fused dot+reduce, native s8 contraction (deployed shape)
     "dft_reduce_bf16",  # fused dot+reduce, chunked-bf16 contraction
     "dft_reduce_notw",  # diagnostic: the no-twiddle m=128 variant
+    "ntt_level",      # v2 level kernel: u32-native, resident plane-W, ring acc
 ]
 
 
@@ -216,6 +217,45 @@ def check_dft_reduce_notw(field, ops):
     its compile status separately keeps the deployed-shape manifest
     entry (dft_reduce) from being poisoned by it."""
     return _check_dft_reduce_impl(field, ops, "s8", with_tw=False, m=128)
+
+
+def check_ntt_level(field, ops):
+    """v2 level kernel (pallas_ntt_level) at BOTH deployed variants:
+    the fused-twiddle inner-level shape (m=512) and the no-twiddle
+    top-level shape (m=128). One manifest entry gates both (the
+    dispatch in ntt.matmul uses the kernel for either), so both Mosaic
+    compiles must succeed and bit-match the kernel-free path."""
+    from hodor_tpu.ntt import matmul as mm
+
+    rng = np.random.default_rng(18)
+    try:
+        for with_tw, m in ((True, 512), (False, 128)):
+            x = jax.device_put(_rand_limbs(rng, (m, 128, ops.n16), field))
+            tw = (
+                jax.device_put(_rand_limbs(rng, (m, 128, ops.n16), field))
+                if with_tw
+                else None
+            )
+            mm._FORCE_PALLAS = "off"
+            mm._FORCE_FUSED = "off"
+            mm._FORCE_V2 = False
+            ref = jax.jit(lambda a, t=tw: mm._dft_matmul(ops, a, 128, False, tw=t))(x)
+            ref.block_until_ready()
+            mm._FORCE_V2 = None
+            os.environ["HODOR_NTT_V2"] = "1"
+            os.environ["HODOR_PALLAS_QUAL"] = "none"
+            # _FORCE_V2 None + manifest "none" would gate v2 off; force it
+            mm._FORCE_V2 = "on"
+            got = jax.jit(lambda a, t=tw: mm._dft_matmul(ops, a, 128, False, tw=t))(x)
+            if not _eq(got, ref):
+                return False
+        return True
+    finally:
+        mm._FORCE_PALLAS = None
+        mm._FORCE_FUSED = None
+        mm._FORCE_V2 = None
+        os.environ.pop("HODOR_NTT_V2", None)
+        os.environ["HODOR_PALLAS_QUAL"] = "none"
 
 
 def check_s8dot(field, ops):

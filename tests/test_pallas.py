@@ -210,3 +210,73 @@ def test_pallas_fused_dft_reduce_matches_two_step(dot_impl):
         jax.clear_caches()
     assert (ref_plain == fused_plain).all()
     assert (ref_tw == fused_tw).all()
+
+
+@pytest.mark.parametrize("field_name", ["F_STARK", "F_P63", "F257"])
+def test_pallas_ntt_level_v2_matches_two_step(field_name):
+    """v2 NTT level kernel (pallas_ntt_level via _dft_matmul_fused_v2):
+    in-VMEM byte encode + plane-dot ring accumulation + Montgomery
+    epilogue (+ fused twiddle) must be bit-exact with the two-step XLA
+    path, with and without twiddles, across limb widths (n16 = 16/4/2
+    covers the qi-chunking and ring-size variants)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hodor_tpu.field import F257, F_P63, F_STARK, ops_for
+    from hodor_tpu.ntt import matmul as mm
+
+    field = {"F_STARK": F_STARK, "F_P63": F_P63, "F257": F257}[field_name]
+    ops = ops_for(field)
+    rng = np.random.default_rng(23)
+    top = max(field.num_bits - 16 * (ops.n16 - 1) - 1, 1)
+    limbs = rng.integers(0, 1 << 16, size=(128, 128, ops.n16), dtype=np.uint32)
+    limbs[..., -1] &= (1 << top) - 1
+    x = jnp.asarray(limbs)
+    tw_limbs = rng.integers(0, 1 << 16, size=(128, 128, ops.n16), dtype=np.uint32)
+    tw_limbs[..., -1] &= (1 << top) - 1
+    tw = jnp.asarray(tw_limbs)
+
+    old = mm._FORCE_V2
+    try:
+        mm._FORCE_V2 = False
+        ref_plain = np.asarray(mm._dft_matmul(ops, x, 128, False))
+        ref_tw = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
+        mm._FORCE_V2 = "interpret"
+        jax.clear_caches()
+        v2_plain = np.asarray(mm._dft_matmul(ops, x, 128, False))
+        v2_tw = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
+    finally:
+        mm._FORCE_V2 = old
+        jax.clear_caches()
+    assert (ref_plain == v2_plain).all()
+    assert (ref_tw == v2_tw).all()
+
+
+def test_pallas_ntt_level_v2_full_transform():
+    """A full multi-level ntt_matmul with the v2 kernel forced must be
+    bit-identical to the kernel-free transform (two radix-128 levels at
+    N = 2^14, exercising the no-twiddle outer level and the fused
+    twiddle inner level plus the inter-level layout plumbing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hodor_tpu.field import F_P63, ops_for
+    from hodor_tpu.ntt import matmul as mm
+
+    ops = ops_for(F_P63)
+    rng = np.random.default_rng(31)
+    limbs = rng.integers(0, 1 << 16, size=(1 << 14, ops.n16), dtype=np.uint32)
+    limbs[..., -1] &= 0x7FFF
+    x = jnp.asarray(limbs)
+
+    old = mm._FORCE_V2
+    try:
+        mm._FORCE_V2 = False
+        ref = np.asarray(mm.ntt_matmul(ops, x))
+        mm._FORCE_V2 = "interpret"
+        jax.clear_caches()
+        got = np.asarray(mm.ntt_matmul(ops, x))
+    finally:
+        mm._FORCE_V2 = old
+        jax.clear_caches()
+    assert (ref == got).all()
