@@ -1254,7 +1254,11 @@ def _ntt_level_call(field: Field, chain, size: int, has_tw: bool,
 
     def call(w2, x4, tw4):
         """w2 (P*size, size) bf16; x4 (m_tiles, n, size, LANES) uint32;
-        tw4 (m_tiles, n, size, LANES) or None.
+        tw4 (tw_tiles, n, size, LANES) or None, where tw_tiles divides
+        m_tiles: the twiddle pattern repeats every tw_tiles tiles (the
+        four-step level twiddle depends only on the n2 coordinate, so a
+        batched/LDE transform never materializes its broadcast over the
+        batch — the BlockSpec index map wraps instead).
         Returns (m_tiles, n, size, LANES) Montgomery limbs."""
         m_tiles = x4.shape[0]
         grid = (m_tiles,)
@@ -1264,7 +1268,13 @@ def _ntt_level_call(field: Field, chain, size: int, has_tw: bool,
         in_specs = [wspec, tilespec]
         args = [w2, x4]
         if has_tw:
-            in_specs.append(tilespec)
+            tw_tiles = tw4.shape[0]
+            assert m_tiles % tw_tiles == 0
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n, size, LANES), lambda i: (i % tw_tiles, 0, 0, 0)
+                )
+            )
             args.append(tw4)
         in_specs += [const_spec, const_spec]
         args += [jnp.asarray(p_arr), jnp.asarray(pinv_arr)]

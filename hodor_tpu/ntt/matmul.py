@@ -360,9 +360,25 @@ def _dft_matmul_fused_v2(ops: LimbOps, x, size: int, inverse: bool, tw,
     )  # (m_tiles, L, S, LANES)
     tw4 = None
     if tw is not None:
-        twf = jnp.broadcast_to(tw, lead + (size, L)).reshape(
-            m_tiles, LANES, size, L
-        )
+        # the level twiddle depends only on the trailing batch axes it
+        # was built over (n2 for the four-step level), so its pattern
+        # repeats every prod(tw.shape[:-2]) elements of the flattened
+        # batch; when that period is a whole number of lane tiles, pass
+        # only one period and let the kernel's BlockSpec index map wrap
+        # (i % tw_tiles) — the broadcast over the outer batch is never
+        # materialized in HBM.
+        t_lead = tw.shape[:-2]
+        t_m = int(np.prod(t_lead)) if t_lead else 1
+        if (
+            t_m % LANES == 0
+            and m % t_m == 0
+            and tuple(lead[len(lead) - len(t_lead):]) == tuple(t_lead)
+        ):
+            twf = tw.reshape(t_m // LANES, LANES, size, L)
+        else:
+            twf = jnp.broadcast_to(tw, lead + (size, L)).reshape(
+                m_tiles, LANES, size, L
+            )
         tw4 = jnp.transpose(twf, (0, 3, 2, 1))
 
     chain = tuple(

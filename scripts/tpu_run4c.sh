@@ -44,26 +44,44 @@ echo $$ > /root/repo/scripts/.tpu_campaign.pid
 trap 'rm -f /root/repo/scripts/.tpu_campaign.pid' EXIT
 export BENCH_IN_CAMPAIGN=1
 
-# (1) dispatch-vs-device discrimination (warm compiles from run4)
+# (0) qualify the v2 level kernel (ntt_level): cheap, and when it
+# passes the manifest flips v2 default-on for every later step —
+# including the proves, whose per-level HBM traffic it cuts ~2x and
+# whose stage1 MLIR it shrinks (the 87 MB stage1 program was mostly
+# encode/layout plumbing the v2 path deletes)
+step 240 2400 python scripts/tpu_qualify.py --retry-failed ntt_level
+step 120 900 python scripts/tpu_qualify.py --pending-as-fail ntt_level
+timeout 60 python scripts/tpu_qualify.py --finalize
+
+# (1) dispatch-vs-device discrimination; the first step doubles as the
+# v2 measurement at 2^16 (cold compile if just qualified), the
+# HODOR_NTT_V2=0 control isolates the kernel's contribution
 NTT_REPS=50 step 240 2400 python scripts/tpu_bench.py ntt 16
+HODOR_NTT_V2=0 NTT_REPS=20 step 240 2400 python scripts/tpu_bench.py ntt 16
 step 300 3600 python scripts/tpu_bench.py nttb 16 8
 NTT_REPS=20 step 300 3600 python scripts/tpu_bench.py ntt 20
 
 # (2) FRI pair isolation at prove scale
 step 600 4800 python scripts/tpu_bench.py fri 20
 
-# (3) proves with the interleave + omega-table fixes
+# (3) proves with the interleave + omega-table fixes; first attempt
+# runs the qualified default kernel set (v2 if it just qualified), the
+# retry is maximally conservative (v2 off + serialized LDE + eager FRI)
 if ! BENCH_MODE=prove BENCH_LOG_ROWS=18 step 1200 9000 python bench.py; then
-  HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 BENCH_MODE=prove BENCH_LOG_ROWS=18 \
-    step 1200 9000 python bench.py
+  HODOR_NTT_V2=0 HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 \
+    BENCH_MODE=prove BENCH_LOG_ROWS=18 step 1200 9000 python bench.py
 fi
 if ! BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 10800 python bench.py; then
-  HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 BENCH_MODE=prove BENCH_LOG_ROWS=20 \
-    step 2400 10800 python bench.py
+  HODOR_NTT_V2=0 HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 \
+    BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 10800 python bench.py
 fi
 if ! BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 10800 python bench.py; then
-  HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 BENCH_WORKLOAD=cubic BENCH_MODE=prove \
-    BENCH_LOG_ROWS=20 step 2400 10800 python bench.py
+  HODOR_NTT_V2=0 HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 \
+    BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 10800 python bench.py
 fi
+
+# (4) v2 at scale + the profile that drives the next kernel round
+step 600 4800 python scripts/tpu_bench.py ntt 24
+step 400 3600 python scripts/tpu_bench.py profile 20
 
 echo "=== tpu_run4c done ==="

@@ -252,6 +252,40 @@ def test_pallas_ntt_level_v2_matches_two_step(field_name):
     assert (ref_tw == v2_tw).all()
 
 
+def test_pallas_ntt_level_v2_tiled_twiddle():
+    """When the twiddle's batch period is smaller than the full batch
+    (an outer batch broadcasts over it — every LDE/batched level), the
+    v2 path passes ONE period and wraps via the BlockSpec index map;
+    the result must equal the materialized-broadcast reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from hodor_tpu.field import F_P63, ops_for
+    from hodor_tpu.ntt import matmul as mm
+
+    ops = ops_for(F_P63)
+    rng = np.random.default_rng(37)
+    # lead = (4, 128): outer batch 4 broadcasting over the tw period 128
+    limbs = rng.integers(0, 1 << 16, size=(4, 128, 128, ops.n16), dtype=np.uint32)
+    limbs[..., -1] &= 0x3FFF
+    x = jnp.asarray(limbs)
+    tw_limbs = rng.integers(0, 1 << 16, size=(128, 128, ops.n16), dtype=np.uint32)
+    tw_limbs[..., -1] &= 0x3FFF
+    tw = jnp.asarray(tw_limbs)
+
+    old = mm._FORCE_V2
+    try:
+        mm._FORCE_V2 = False
+        ref = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
+        mm._FORCE_V2 = "interpret"
+        jax.clear_caches()
+        got = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
+    finally:
+        mm._FORCE_V2 = old
+        jax.clear_caches()
+    assert (ref == got).all()
+
+
 def test_pallas_ntt_level_v2_full_transform():
     """A full multi-level ntt_matmul with the v2 kernel forced must be
     bit-identical to the kernel-free transform (two radix-128 levels at
