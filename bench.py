@@ -262,7 +262,11 @@ def main():
     # default 2^16: the compile for this shape is persistently cached from
     # round-1 runs (axon compiles take ~10 min cold, seconds warm)
     log_n = int(os.environ.get("BENCH_LOG_N", "16"))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # 50 reps: the tunnel's ~30 ms dispatch RTT pipelines across queued
+    # executions, so small rep counts measure dispatch, not the chip
+    # (measured 2^16: 5.9 ms/transform at 5 reps vs 1.43 ms at 50 —
+    # campaign wave 3 step 1). The driver's headline should amortize it.
+    reps = int(os.environ.get("BENCH_REPS", "50"))
     field = FIELDS[os.environ.get("BENCH_FIELD", "F_STARK")]
     n = 1 << log_n
     ops = ops_for(field)
