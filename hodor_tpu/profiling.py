@@ -8,9 +8,15 @@ wall-times into a structured record any driver can serialize, and
 `device_trace` wraps a block in a jax.profiler trace whose per-op
 durations can be aggregated with `summarize_trace`.
 
-Stage boundaries in the prover sit at host sync points (Fiat-Shamir
-commits), so wall-clock between them is the true device+dispatch cost
-of the stage.
+Stage boundaries in the prover sit at Fiat-Shamir commits, but several
+stages deliberately do NOT synchronize (the warm prove makes exactly
+five device->host transfers), so a stage's wall time can absorb the
+ASYNC device work of earlier stages — round 4 measured "FRI pair 74%
+of the prove" this way when the isolated pair ladder is 158 ms.
+Set HODOR_SYNC_STAGES=1 to block on all live device arrays at each
+stage exit: per-stage walls become truthful at the cost of stalling the
+dispatch pipeline (debug/profiling only — do not benchmark totals with
+it on).
 """
 
 from __future__ import annotations
@@ -20,6 +26,12 @@ import dataclasses
 import json
 import time
 from typing import Dict, List, Optional
+
+
+def _sync_stages() -> bool:
+    import os
+
+    return os.environ.get("HODOR_SYNC_STAGES") == "1"
 
 
 @dataclasses.dataclass
@@ -44,6 +56,14 @@ class StageTimer:
         try:
             yield
         finally:
+            if _sync_stages():
+                import jax
+
+                for a in jax.live_arrays():
+                    try:
+                        a.block_until_ready()
+                    except Exception:
+                        pass  # deleted/donated buffers
             self.records.append(StageRecord(name, time.perf_counter() - t0))
 
     def total(self) -> float:
