@@ -200,10 +200,20 @@ def _ntt_pease(ops: LimbOps, a, log_n: int, inverse: bool):
 
 def intt(ops: LimbOps, a):
     """Inverse NTT including the 1/N scale (reference Polynomial::ifft,
-    src/polynomials/mod.rs:773-797: best_fft with omega^-1 then *minv)."""
+    src/polynomials/mod.rs:773-797: best_fft with omega^-1 then *minv).
+
+    On the matmul path the 1/N multiply is folded into the terminal
+    DFT level's fused twiddle (ntt_matmul's `scale`) instead of a
+    separate full read+write pass over the array."""
     n = a.shape[-2]
-    out = ntt(ops, a, inverse=True)
+    log_n = log2_floor(n)
     minv = ops.const(ops.field.inv(n % ops.field.p))
+    if n > 1 and log_n > _UNROLL_MAX_LOG_N:
+        from .matmul import max_radix, ntt_matmul
+
+        if max_radix(ops.field) >= 8:
+            return ntt_matmul(ops, a, inverse=True, scale=minv)
+    out = ntt(ops, a, inverse=True)
     return ops.mul(out, minv)
 
 

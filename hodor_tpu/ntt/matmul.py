@@ -512,14 +512,19 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
     return out
 
 
-def ntt_matmul(ops: LimbOps, x, inverse: bool = False):
+def ntt_matmul(ops: LimbOps, x, inverse: bool = False, scale=None):
     """Natural-order NTT over axis -2 using radix-128 matmul levels.
-    No 1/N scaling (see intt_matmul)."""
+
+    scale: optional (L,) Montgomery constant folded into the TERMINAL
+    level's fused twiddle multiply (the iNTT's 1/N — one full read+write
+    pass over the array saved vs a separate post-multiply)."""
     n = x.shape[-2]
     radix = min(RADIX, max_radix(ops.field))
     if n == 1:
-        return x
+        return x if scale is None else ops.mul(x, scale)
     if n <= radix:
+        if scale is not None:
+            return _dft_matmul(ops, x, n, inverse, tw=scale)
         return _dft_matmul(ops, x, n, inverse)
     n1 = radix
     n2 = n // n1
@@ -534,7 +539,7 @@ def ntt_matmul(ops: LimbOps, x, inverse: bool = False):
     inner = _dft_matmul(ops, inner, n1, inverse, tw=jnp.swapaxes(tw, 0, 1))
     inner = jnp.swapaxes(inner, -3, -2)  # (..., n1(k1), n2(j2), L)
     # outer: DFT_{n2} over j2 per k1 (recurse; k1 folds into the batch)
-    outer = ntt_matmul(ops, inner, inverse)  # (..., n1(k1), n2(k2), L)
+    outer = ntt_matmul(ops, inner, inverse, scale=scale)
     # natural order: out[k2*n1 + k1]
     out = jnp.swapaxes(outer, -3, -2)  # (..., n2(k2), n1(k1), L)
     return out.reshape(lead + (n, L))
@@ -542,6 +547,5 @@ def ntt_matmul(ops: LimbOps, x, inverse: bool = False):
 
 def intt_matmul(ops: LimbOps, x):
     n = x.shape[-2]
-    out = ntt_matmul(ops, x, inverse=True)
     minv = ops.const(ops.field.inv(n % ops.field.p))
-    return ops.mul(out, minv)
+    return ntt_matmul(ops, x, inverse=True, scale=minv)
