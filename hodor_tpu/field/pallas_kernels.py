@@ -1111,15 +1111,28 @@ def pallas_dft_reduce(field: Field, w_s8, w_sum_b, x_s8, chain, tw4=None,
 # follow the _wide_reduce_kernel analysis unchanged.
 
 
-def _ntt_level_kernel(n, chain, p_list, has_tw, *refs):
+def _ntt_level_kernel(n, chain, p_list, has_tw, dot_impl, *refs):
     """One radix-S NTT level: in-VMEM byte encode + plane-dot DFT +
     wide Montgomery reduce + optional fused twiddle.
 
-    Blocks: w_ref (P*S, S) bf16 byte planes, row (qi*S + k), col j =
-    byte qi of W[k, j]; x_ref / o_ref / tw_ref (1, n, S, LANES) uint32
-    limb-major tiles; scratch xp_ref (P, S, LANES) bf16 planes of x,
+    Blocks: w_ref (P*S, S) byte planes (bf16 raw bytes, or int8
+    offset-by-128 for dot_impl="s8"), row (qi*S + k), col j = byte qi of
+    W[k, j]; x_ref / o_ref / tw_ref (1, n, S, LANES) uint32 limb-major
+    tiles; scratch xp_ref (P, S, LANES) planes of x (same dtype as W),
     win_ref (2n+1, S, LANES) uint32 (column ring during the dot loop,
-    macc during the epilogue), acc_ref (2n+1, S, LANES) uint32."""
+    macc during the epilogue), acc_ref (2n+1, S, LANES) uint32.
+
+    dot_impl="bf16": raw bytes are exact in bf16, each product < 2^16
+    is exact in the f32 accumulator, a depth-128 dot sums to < 2^23 —
+    no corrections needed. dot_impl="s8": both operands offset by -128
+    into int8 for the native MXU int8 path (~2x bf16 throughput); the
+    exact value is recovered per dot as
+      Z_true = Z_s8 + 128*sum_j x'[j,qj,m] + 128*sum_j w'[(qi,k),j]
+               + 16384*S
+    with the row term computed from an in-kernel lane-dim broadcast of
+    the W chunk's row sums. All accumulation is mod 2^32 (int32->uint32
+    converts wrap), and the true column values are exact and < 2^28, so
+    the wrapped arithmetic is exact."""
     if has_tw:
         (w_ref, x_ref, tw_ref, p_ref, pinv_ref, o_ref,
          xp_ref, win_ref, acc_ref) = refs
@@ -1129,13 +1142,20 @@ def _ntt_level_kernel(n, chain, p_list, has_tw, *refs):
     P = 2 * n
     S = x_ref.shape[2]
     zeros_block = jnp.zeros((S, LANES), jnp.uint32)
+    s8 = dot_impl == "s8"
 
     # byte-plane encode in VMEM (limbs are proper 16-bit, so >> 8 needs
     # no mask); integers < 256 are exact in bf16
     for limb in range(n):
-        v = x_ref[0, limb]
-        xp_ref[2 * limb] = (v & 0xFF).astype(jnp.int32).astype(jnp.bfloat16)
-        xp_ref[2 * limb + 1] = (v >> 8).astype(jnp.int32).astype(jnp.bfloat16)
+        v = x_ref[0, limb].astype(jnp.int32)
+        lo = v & 0xFF
+        hi = v >> 8
+        if s8:
+            xp_ref[2 * limb] = (lo - 128).astype(jnp.int8)
+            xp_ref[2 * limb + 1] = (hi - 128).astype(jnp.int8)
+        else:
+            xp_ref[2 * limb] = lo.astype(jnp.bfloat16)
+            xp_ref[2 * limb + 1] = hi.astype(jnp.bfloat16)
 
     win_ref[...] = jnp.zeros(win_ref.shape, jnp.uint32)
     acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.uint32)
@@ -1149,21 +1169,34 @@ def _ntt_level_kernel(n, chain, p_list, has_tw, *refs):
             acc_ref[pl.ds(half, 1)] += ((colv & 0xFF) << 8)[None]
             acc_ref[pl.ds(half + 1, 1)] += (colv >> 8)[None]
 
-    # qi chunk size: bounds the (qchunk*S, LANES) f32 dot output in VMEM
+    # qi chunk size: bounds the (qchunk*S, LANES) dot output in VMEM
     qchunk = min(8, P)
     assert P % qchunk == 0
-    w = w_ref[:]  # (P*S, S) bf16, VMEM-resident for the whole level
+    w = w_ref[:]  # (P*S, S), VMEM-resident for the whole level
     for qj in range(P):
-        xq = xp_ref[qj]  # (S, LANES) bf16
+        xq = xp_ref[qj]  # (S, LANES)
+        if s8:
+            # 128 * sum_j x'[j, qj, m]: per-lane, broadcast over rows
+            sx = (jnp.sum(xq.astype(jnp.int32), axis=0) * 128)[None, :]
         for qc in range(P // qchunk):
-            z = jax.lax.dot_general(
-                w[qc * qchunk * S:(qc + 1) * qchunk * S], xq,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (qchunk*S, LANES) exact integers < 2^23
-            zu = z.astype(jnp.int32).astype(jnp.uint32).reshape(
-                qchunk, S, LANES
-            )
+            wq = w[qc * qchunk * S:(qc + 1) * qchunk * S]
+            if s8:
+                z = jax.lax.dot_general(
+                    wq, xq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (qchunk*S, LANES) int32, offset form
+                # + 128*row-sums of w' (lane-dim broadcast) + sx + 128^2*S
+                swr = (jnp.sum(wq.astype(jnp.int32), axis=1) * 128)[:, None]
+                z = z + swr + sx + (128 * 128) * S
+                zu = z.astype(jnp.uint32).reshape(qchunk, S, LANES)
+            else:
+                z = jax.lax.dot_general(
+                    wq, xq, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (qchunk*S, LANES) exact integers < 2^23
+                zu = z.astype(jnp.int32).astype(jnp.uint32).reshape(
+                    qchunk, S, LANES
+                )
             # rows qi = qc*qchunk + r feed ring slot (qj + qi) mod P
             s0 = (qj + qc * qchunk) % P
             if s0 + qchunk <= P:
@@ -1239,12 +1272,12 @@ def _ntt_level_kernel(n, chain, p_list, has_tw, *refs):
 
 @lru_cache(maxsize=None)
 def _ntt_level_call(field: Field, chain, size: int, has_tw: bool,
-                    interpret: bool):
+                    dot_impl: str, interpret: bool):
     n = field.n16
     P = 2 * n
     p_list = tuple(int(v) for v in int_to_limbs(field.p, n))
     pinv_list = tuple(int(v) for v in int_to_limbs(field.p_inv_neg, n))
-    kern = partial(_ntt_level_kernel, n, chain, p_list, has_tw)
+    kern = partial(_ntt_level_kernel, n, chain, p_list, has_tw, dot_impl)
     p_arr = np.broadcast_to(
         np.asarray(p_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
     ).copy()
@@ -1287,7 +1320,10 @@ def _ntt_level_call(field: Field, chain, size: int, has_tw: bool,
             in_specs=in_specs,
             out_specs=tilespec,
             scratch_shapes=[
-                pltpu.VMEM((P, size, LANES), jnp.bfloat16),
+                pltpu.VMEM(
+                    (P, size, LANES),
+                    jnp.int8 if dot_impl == "s8" else jnp.bfloat16,
+                ),
                 pltpu.VMEM((2 * n + 1, size, LANES), jnp.uint32),
                 pltpu.VMEM((2 * n + 1, size, LANES), jnp.uint32),
             ],
@@ -1298,13 +1334,14 @@ def _ntt_level_call(field: Field, chain, size: int, has_tw: bool,
 
 
 def pallas_ntt_level(field: Field, w2, x4, chain, tw4=None,
-                     interpret: bool = False):
+                     dot_impl: str = "bf16", interpret: bool = False):
     """v2 fused NTT level: in-VMEM byte encode + plane-dot DFT + wide
     Montgomery reduce (+ optional fused twiddle). See _ntt_level_kernel.
 
-    w2: (2*n16*size, size) bf16 byte-plane DFT matrix (row qi*size + k,
-    col j = byte qi of W[k, j]); x4/tw4: (m_tiles, n16, size, LANES)
-    uint32 limb-major tiles."""
+    w2: (2*n16*size, size) byte-plane DFT matrix (row qi*size + k, col
+    j = byte qi of W[k, j]) — bf16 raw bytes for dot_impl="bf16", int8
+    offset-by-128 for "s8"; x4/tw4: (m_tiles, n16, size, LANES) uint32
+    limb-major tiles."""
     size = w2.shape[1]
     return _ntt_level_call(field, chain, size, tw4 is not None,
-                           interpret)(w2, x4, tw4)
+                           dot_impl, interpret)(w2, x4, tw4)

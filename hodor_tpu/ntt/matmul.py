@@ -237,14 +237,20 @@ def _mont_reduce_wide(ops: LimbOps, cols, radix: int):
 
 
 @lru_cache(maxsize=None)
-def _dft_matrix_planes_v2(field: Field, size: int, inverse: bool):
-    """(P*size, size) bf16 plane matrix for the v2 level kernel: row
+def _dft_matrix_planes_v2(field: Field, size: int, inverse: bool,
+                          dot_impl: str = "bf16"):
+    """(P*size, size) plane matrix for the v2 level kernel: row
     (qi*size + k), column j holds byte qi of W[k, j] (P = 2*n16 byte
-    planes). Bytes <= 255 are exact in bf16."""
+    planes). Bytes <= 255 are exact in bf16; the "s8" variant stores
+    byte-128 for the native int8 MXU dot (corrections in-kernel)."""
     import ml_dtypes
 
     planes = _dft_matrix_bytes(field, size, inverse)  # (S, S, P) f32 bytes
     w2 = np.transpose(planes, (2, 0, 1)).reshape(-1, size)  # (P*S, S)
+    if dot_impl == "s8":
+        return np.ascontiguousarray(
+            (w2.astype(np.int32) - 128).astype(np.int8)
+        )
     return np.ascontiguousarray(w2.astype(ml_dtypes.bfloat16))
 
 
@@ -261,6 +267,23 @@ _FORCE_FUSED = None
 # TPU); "interpret" forces interpret mode for CPU tests; "on" forces the
 # real kernel regardless of the manifest (qualification); False disables
 _FORCE_V2 = None
+
+# v2 in-kernel dot: None = auto (s8 when "ntt_level_s8" qualified, else
+# bf16); "s8"/"bf16" force one (tests, HODOR_NTT_V2_IMPL)
+_V2_IMPL = None
+
+
+def _v2_dot_impl() -> str:
+    import os
+
+    from ..field.limbs import _pallas_enabled as _pe
+
+    if _V2_IMPL in ("s8", "bf16"):
+        return _V2_IMPL
+    env = os.environ.get("HODOR_NTT_V2_IMPL")
+    if env in ("s8", "bf16"):
+        return env
+    return "s8" if _pe("ntt_level_s8") else "bf16"
 
 # in-kernel contraction for the fused kernel: None = auto (prefer the
 # native "s8" int8 dot when qualified, else the chunked-"bf16c" form
@@ -353,7 +376,8 @@ def _dft_matmul_fused_v2(ops: LimbOps, x, size: int, inverse: bool, tw,
     lead = x.shape[:-2]
     m = int(np.prod(lead)) if lead else 1
     m_tiles = m // LANES
-    w2 = jnp.asarray(_dft_matrix_planes_v2(field, size, inverse))
+    dot_impl = _v2_dot_impl()
+    w2 = jnp.asarray(_dft_matrix_planes_v2(field, size, inverse, dot_impl))
 
     x4 = jnp.transpose(
         x.reshape(m_tiles, LANES, size, L), (0, 3, 2, 1)
@@ -385,7 +409,7 @@ def _dft_matmul_fused_v2(ops: LimbOps, x, size: int, inverse: bool, tw,
         tuple(int(v) for v in mult) for mult in _reduction_chain(field, size)
     )
     out = pallas_ntt_level(
-        field, w2, x4, chain, tw4, interpret=interpret
+        field, w2, x4, chain, tw4, dot_impl=dot_impl, interpret=interpret
     )  # (m_tiles, L, S, LANES)
     return jnp.transpose(out, (0, 3, 2, 1)).reshape(lead + (size, L))
 

@@ -51,6 +51,7 @@ KERNELS = [
     "dft_reduce_bf16",  # fused dot+reduce, chunked-bf16 contraction
     "dft_reduce_notw",  # diagnostic: the no-twiddle m=128 variant
     "ntt_level",      # v2 level kernel: u32-native, resident plane-W, ring acc
+    "ntt_level_s8",   # v2 with the native int8 in-kernel dot (~2x bf16 MXU)
 ]
 
 
@@ -219,7 +220,7 @@ def check_dft_reduce_notw(field, ops):
     return _check_dft_reduce_impl(field, ops, "s8", with_tw=False, m=128)
 
 
-def check_ntt_level(field, ops):
+def check_ntt_level(field, ops, impl="bf16"):
     """v2 level kernel (pallas_ntt_level) at BOTH deployed variants:
     the fused-twiddle inner-level shape (m=512) and the no-twiddle
     top-level shape (m=128). One manifest entry gates both (the
@@ -229,6 +230,7 @@ def check_ntt_level(field, ops):
 
     rng = np.random.default_rng(18)
     try:
+        mm._V2_IMPL = impl
         for with_tw, m in ((True, 512), (False, 128)):
             x = jax.device_put(_rand_limbs(rng, (m, 128, ops.n16), field))
             tw = (
@@ -254,8 +256,13 @@ def check_ntt_level(field, ops):
         mm._FORCE_PALLAS = None
         mm._FORCE_FUSED = None
         mm._FORCE_V2 = None
+        mm._V2_IMPL = None
         os.environ.pop("HODOR_NTT_V2", None)
         os.environ["HODOR_PALLAS_QUAL"] = "none"
+
+
+def check_ntt_level_s8(field, ops):
+    return check_ntt_level(field, ops, impl="s8")
 
 
 def check_s8dot(field, ops):
@@ -294,6 +301,8 @@ CHECKS = {
     "dft_reduce": check_dft_reduce,
     "dft_reduce_bf16": check_dft_reduce_bf16,
     "dft_reduce_notw": check_dft_reduce_notw,
+    "ntt_level": check_ntt_level,
+    "ntt_level_s8": check_ntt_level_s8,
 }
 
 # Transient remote-compile failures (VERDICT round-3 item 2: round 3

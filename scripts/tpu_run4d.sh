@@ -38,9 +38,11 @@ echo $$ > /root/repo/scripts/.tpu_campaign.pid
 trap 'rm -f /root/repo/scripts/.tpu_campaign.pid' EXIT
 export BENCH_IN_CAMPAIGN=1
 
-# (1) qualify the new kernel (separate process per attempt; retries inside)
+# (1) qualify the new kernels (separate process per attempt; retries inside)
 step 240 2400 python scripts/tpu_qualify.py --retry-failed ntt_level
 step 120 900 python scripts/tpu_qualify.py --pending-as-fail ntt_level
+step 240 2400 python scripts/tpu_qualify.py --retry-failed ntt_level_s8
+step 120 900 python scripts/tpu_qualify.py --pending-as-fail ntt_level_s8
 timeout 60 python scripts/tpu_qualify.py --finalize
 
 # (2) NTT ladder with the qualified default set (v2 engages when the

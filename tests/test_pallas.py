@@ -212,13 +212,15 @@ def test_pallas_fused_dft_reduce_matches_two_step(dot_impl):
     assert (ref_tw == fused_tw).all()
 
 
+@pytest.mark.parametrize("impl", ["bf16", "s8"])
 @pytest.mark.parametrize("field_name", ["F_STARK", "F_P63", "F257"])
-def test_pallas_ntt_level_v2_matches_two_step(field_name):
+def test_pallas_ntt_level_v2_matches_two_step(field_name, impl):
     """v2 NTT level kernel (pallas_ntt_level via _dft_matmul_fused_v2):
     in-VMEM byte encode + plane-dot ring accumulation + Montgomery
     epilogue (+ fused twiddle) must be bit-exact with the two-step XLA
     path, with and without twiddles, across limb widths (n16 = 16/4/2
-    covers the qi-chunking and ring-size variants)."""
+    covers the qi-chunking and ring-size variants) and both in-kernel
+    dot forms (exact-bf16 and offset-corrected native int8)."""
     import jax
     import jax.numpy as jnp
 
@@ -242,11 +244,13 @@ def test_pallas_ntt_level_v2_matches_two_step(field_name):
         ref_plain = np.asarray(mm._dft_matmul(ops, x, 128, False))
         ref_tw = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
         mm._FORCE_V2 = "interpret"
+        mm._V2_IMPL = impl
         jax.clear_caches()
         v2_plain = np.asarray(mm._dft_matmul(ops, x, 128, False))
         v2_tw = np.asarray(mm._dft_matmul(ops, x, 128, False, tw=tw))
     finally:
         mm._FORCE_V2 = old
+        mm._V2_IMPL = None
         jax.clear_caches()
     assert (ref_plain == v2_plain).all()
     assert (ref_tw == v2_tw).all()
