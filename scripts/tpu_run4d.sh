@@ -56,7 +56,10 @@ step 600 4800 python scripts/tpu_bench.py ntt 24
 # next kernel round: layout vs epilogue vs dot)
 step 400 3600 python scripts/tpu_bench.py profile 20
 
-# (4) a 2^16-row prove with the v2 default engaged (stage breakdown)
+# (4) a 2^16-row prove with the v2 default engaged, then the same prove
+# with synced stages for TRUTHFUL per-stage attribution (totals from
+# the second run are distorted by the pipeline stalls — use the first)
 BENCH_MODE=prove BENCH_LOG_ROWS=16 step 1200 7200 python bench.py
+HODOR_SYNC_STAGES=1 BENCH_MODE=prove BENCH_LOG_ROWS=16 step 600 7200 python bench.py
 
 echo "=== tpu_run4d done ==="
