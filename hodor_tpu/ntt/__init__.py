@@ -39,18 +39,33 @@ def bit_reverse_indices(log_n: int) -> np.ndarray:
     return rev
 
 
+def _host_powers(field: Field, base: int, count: int) -> np.ndarray:
+    """(count, L) Montgomery-form powers base^i computed with PYTHON
+    ints on the host — trace-time table builders must never touch the
+    device: eager mid-trace device work on the axon backend has OOM'd
+    proves both via transfer-size limits (>=256 MB uploads, run4b
+    step_1) and via allocations while prove state is resident (wave-3
+    step_6)."""
+    from ..field.limbs import int_to_limbs
+
+    out = np.zeros((count, field.n16), dtype=np.uint32)
+    cur = 1
+    for i in range(count):
+        out[i] = int_to_limbs(field.to_mont(cur), field.n16)
+        cur = cur * base % field.p
+    return out
+
+
 @lru_cache(maxsize=None)
 def _stage_twiddles(field: Field, log_n: int, inverse: bool):
     """Per-stage twiddle arrays for an N=2^log_n NTT: for stage s
     (block length 2^(s+1)) the array of w_len^j, j < 2^s, where
-    w_len = omega^(N/len). Returned as a tuple of (2^s, L) device arrays.
+    w_len = omega^(N/len). Returned as a tuple of (2^s, L) host arrays.
     """
-    ops = ops_for(field)
     n = 1 << log_n
     domain = Domain.new_for_size(field, n)
     omega = domain.generator_inv if inverse else domain.generator
-    with jax.ensure_compile_time_eval():
-        table = np.asarray(jax.device_get(ops.powers(ops.const(omega), max(n // 2, 1))))
+    table = _host_powers(field, omega, max(n // 2, 1))
     stages = []
     for s in range(log_n):
         length = 2 << s
@@ -103,13 +118,10 @@ def _omega_table(field: Field, log_n: int, inverse: bool):
     transfer has been observed to kill the axon backend with
     ResourceExhausted (run4b step_1: the 2^18-row prove died uploading
     the h2 = 2^23 FRI table while the chip had >12 GiB free)."""
-    ops = ops_for(field)
     n = 1 << log_n
     domain = Domain.new_for_size(field, n)
     omega = domain.generator_inv if inverse else domain.generator
-    with jax.ensure_compile_time_eval():
-        table = np.asarray(jax.device_get(ops.powers(ops.const(omega), max(n // 2, 1))))
-    return table
+    return _host_powers(field, omega, max(n // 2, 1))
 
 
 @lru_cache(maxsize=None)

@@ -112,15 +112,12 @@ def _dft_matrix_bytes(field: Field, size: int, inverse: bool):
 @lru_cache(maxsize=None)
 def _level_twiddles(field: Field, n: int, n1: int, inverse: bool):
     """(n1, n//n1, L) Montgomery twiddles w_N^(k1*j2) for the four-step
-    recombination."""
-    ops = ops_for(field)
-    n2 = n // n1
-    domain = Domain.new_for_size(field, n)
-    w = domain.generator_inv if inverse else domain.generator
-    with jax.ensure_compile_time_eval():
-        table = np.asarray(jax.device_get(ops.powers(ops.const(w), n)))  # (n, L)
-    idx = np.outer(np.arange(n1), np.arange(n2)) % n
-    return table[idx]  # (n1, n2, L)
+    recombination. Built ON HOST (numpy ints): the previous eager
+    device-powers build ran mid-trace on the axon backend and OOM'd the
+    2^20-row prove the moment HBM was full of live prove state (campaign
+    wave-3 step_6: ResourceExhausted inside jnp.asarray during the
+    first LDE's trace) — trace-time code must never touch the device."""
+    return _strided_twiddles(field, n, n1, n // n1, 1, inverse)
 
 
 @lru_cache(maxsize=None)
