@@ -38,6 +38,16 @@ echo $$ > /root/repo/scripts/.tpu_campaign.pid
 trap 'rm -f /root/repo/scripts/.tpu_campaign.pid' EXIT
 export BENCH_IN_CAMPAIGN=1
 
+# (0) the missing north-star record: the 2^20-row quadratic-VDF prove.
+# Wave 3's two attempts died on (a) a transport flake and (b) the
+# mid-trace eager device twiddle build (fixed: tables are host-built
+# now). v2 stays OFF here — known-good kernel set for the record;
+# retry adds the OOM mitigations.
+if ! HODOR_NTT_V2=0 BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 10800 python bench.py; then
+  HODOR_NTT_V2=0 HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 \
+    BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 10800 python bench.py
+fi
+
 # (1) qualify the new kernels (separate process per attempt; retries inside)
 step 240 2400 python scripts/tpu_qualify.py --retry-failed ntt_level
 step 120 900 python scripts/tpu_qualify.py --pending-as-fail ntt_level
