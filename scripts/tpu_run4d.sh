@@ -9,7 +9,7 @@ export PYTHONPATH=/root/repo:$PYTHONPATH
 LOGDIR=/root/repo/scripts/run4d_steps
 mkdir -p "$LOGDIR"
 T0=$(date +%s)
-BUDGET=${HODOR_CAMPAIGN_BUDGET_S:-10800}
+BUDGET=${HODOR_CAMPAIGN_BUDGET_S:-9000}
 left() { echo $(( BUDGET - ($(date +%s) - T0) )); }
 STEP_N=0
 step() {
@@ -43,9 +43,9 @@ export BENCH_IN_CAMPAIGN=1
 # mid-trace eager device twiddle build (fixed: tables are host-built
 # now). v2 stays OFF here — known-good kernel set for the record;
 # retry adds the OOM mitigations.
-if ! HODOR_NTT_V2=0 BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 10800 python bench.py; then
+if ! HODOR_NTT_V2=0 BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 4800 python bench.py; then
   HODOR_NTT_V2=0 HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 \
-    BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 10800 python bench.py
+    BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 4800 python bench.py
 fi
 
 # (1) qualify the new kernels (separate process per attempt; retries inside)
