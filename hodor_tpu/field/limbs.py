@@ -486,13 +486,39 @@ class LimbOps:
 
     # -- derived bulk ops --
 
+    # powers() chunking threshold: above this the log-doubling form's
+    # LAST doubling is one unfused mul over n/2 elements, whose jnp limb
+    # convolution keeps several (n/2, (2n16)^2) u32 intermediates live -
+    # 25.5 GiB at n = 2^24 on the TPU compile (run4d step_2: the DEEP
+    # stage's _domain_points(2^24) program OOM'd HBM at compile time).
+    # Chunking caps every mul at POWERS_CHUNK elements via lax.map.
+    POWERS_CHUNK = 1 << 16
+
     def powers(self, x, n: int, start=None):
         """[s, s*x, s*x^2, ..., s*x^(n-1)] for scalar limb x (Montgomery).
 
         Log-doubling: log2(n) vectorized steps; n need not be a power of 2.
-        `start` defaults to 1.
+        `start` defaults to 1. Above POWERS_CHUNK elements the table is
+        built block-wise (base table of POWERS_CHUNK powers, then one
+        lax.map step per block multiplying by x^(B*k)) so peak temp
+        memory is O(POWERS_CHUNK), not O(n).
         """
         s = self.one_m if start is None else start
+        B = self.POWERS_CHUNK
+        if n > 2 * B:
+            base = self.powers(x, B, start=s)  # (B, L): s * x^i
+            xB = x
+            b = B
+            while b > 1:  # x^B by repeated squaring (B is a power of two)
+                xB = self.square(xB)
+                b //= 2
+            nblocks = -(-n // B)
+            factors = self.powers(xB, nblocks)  # (nblocks, L): x^(B*k)
+            out = jax.lax.map(
+                lambda f: self.mul(base, f[None, :], allow_pallas=False),
+                factors,
+            )  # (nblocks, B, L)
+            return out.reshape(nblocks * B, self.n16)[:n]
         out = s[None, :]
         step = x  # x^(2^k) after k doublings
         total = 1

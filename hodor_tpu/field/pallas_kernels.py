@@ -1030,7 +1030,10 @@ def _dft_reduce_call(field: Field, chain, size: int, has_tw: bool,
         """w_s8 (C, S, SP) int8; w_sum_b (C, S, LANES) int32;
         x_s8 (m_tiles, SP, LANES) int8 — m_tiles LEADING so the block's
         last two dims (SP, LANES) satisfy the Mosaic (8,128)-divisibility
-        rule for any m_tiles; tw4 (m_tiles, n, S, LANES) or None.
+        rule for any m_tiles; tw4 (tw_tiles, n, S, LANES) or None, where
+        tw_tiles divides m_tiles (the BlockSpec index map wraps, so a
+        twiddle pattern that repeats across the batch — e.g. the iNTT's
+        1/N scale, tw_tiles = 1 — is never broadcast in HBM).
         Returns (m_tiles, n, S, LANES) Montgomery limbs."""
         m_tiles = x_s8.shape[0]
         grid = (m_tiles, C)
@@ -1042,7 +1045,14 @@ def _dft_reduce_call(field: Field, chain, size: int, has_tw: bool,
         in_specs = [wspec, wsumspec, xspec]
         args = [w_s8, w_sum_b, x_s8]
         if has_tw:
-            in_specs.append(pl.BlockSpec((1, n, size, LANES), lambda i, c: (i, 0, 0, 0)))
+            tw_tiles = tw4.shape[0]
+            assert m_tiles % tw_tiles == 0
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, n, size, LANES),
+                    lambda i, c: (i % tw_tiles, 0, 0, 0),
+                )
+            )
             args.append(tw4)
         in_specs += [const_spec, const_spec]
         args += [jnp.asarray(p_arr), jnp.asarray(pinv_arr)]
@@ -1111,7 +1121,7 @@ def pallas_dft_reduce(field: Field, w_s8, w_sum_b, x_s8, chain, tw4=None,
 # follow the _wide_reduce_kernel analysis unchanged.
 
 
-def _ntt_level_kernel(n, chain, p_list, has_tw, dot_impl, *refs):
+def _ntt_level_kernel(n, chain, has_tw, dot_impl, *refs):
     """One radix-S NTT level: in-VMEM byte encode + plane-dot DFT +
     wide Montgomery reduce + optional fused twiddle.
 
@@ -1277,7 +1287,7 @@ def _ntt_level_call(field: Field, chain, size: int, has_tw: bool,
     P = 2 * n
     p_list = tuple(int(v) for v in int_to_limbs(field.p, n))
     pinv_list = tuple(int(v) for v in int_to_limbs(field.p_inv_neg, n))
-    kern = partial(_ntt_level_kernel, n, chain, p_list, has_tw, dot_impl)
+    kern = partial(_ntt_level_kernel, n, chain, has_tw, dot_impl)
     p_arr = np.broadcast_to(
         np.asarray(p_list, dtype=np.uint32)[:, None, None], (n, 1, LANES)
     ).copy()
@@ -1311,6 +1321,22 @@ def _ntt_level_call(field: Field, chain, size: int, has_tw: bool,
             args.append(tw4)
         in_specs += [const_spec, const_spec]
         args += [jnp.asarray(p_arr), jnp.asarray(pinv_arr)]
+        # Raise Mosaic's default 16 MiB scoped-vmem cap: at m_tiles >= 64
+        # (every shape past 2^16) the compiler's buffering pushed the
+        # kernel to 16.47 MiB and the whole program failed to compile
+        # (run4d steps 9-13) while the same block shapes at m_tiles = 4
+        # fit. v5e has 128 MiB VMEM; 32 MiB is a limit, not a
+        # reservation.
+        import os as _os
+
+        vmem_mb = int(_os.environ.get("HODOR_PALLAS_VMEM_MB", "32"))
+        params = (
+            {}
+            if interpret
+            else {"compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_mb << 20
+            )}
+        )
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct(
@@ -1328,6 +1354,7 @@ def _ntt_level_call(field: Field, chain, size: int, has_tw: bool,
                 pltpu.VMEM((2 * n + 1, size, LANES), jnp.uint32),
             ],
             interpret=interpret,
+            **params,
         )(*args)
 
     return call

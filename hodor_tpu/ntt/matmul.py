@@ -343,10 +343,16 @@ def _dft_matmul_fused(ops: LimbOps, x, size: int, inverse: bool, tw, interpret: 
 
     tw4 = None
     if tw is not None:
-        twf = jnp.broadcast_to(tw, lead + (size, L)).reshape(m, size, L)
-        tw4 = jnp.transpose(
-            twf.reshape(m // LANES, LANES, size, L), (0, 3, 2, 1)
-        )  # (m_tiles, L, S, LANES)
+        if tw.ndim == 1:
+            # scalar scale (e.g. the iNTT's 1/N): ONE (LANES, S, L) tile,
+            # wrapped by the kernel's i % tw_tiles index map — the full
+            # (m, S, L) broadcast (1 GiB at 2^24) never exists in HBM
+            twf = jnp.broadcast_to(tw, (1, LANES, size, L))
+        else:
+            twf = jnp.broadcast_to(tw, lead + (size, L)).reshape(
+                m // LANES, LANES, size, L
+            )
+        tw4 = jnp.transpose(twf, (0, 3, 2, 1))  # (tw_tiles, L, S, LANES)
 
     chain = tuple(
         tuple(int(v) for v in mult) for mult in _reduction_chain(field, size)
@@ -390,7 +396,12 @@ def _dft_matmul_fused_v2(ops: LimbOps, x, size: int, inverse: bool, tw,
         # materialized in HBM.
         t_lead = tw.shape[:-2]
         t_m = int(np.prod(t_lead)) if t_lead else 1
-        if (
+        if tw.ndim == 1:
+            # scalar scale (iNTT 1/N): one lane tile, kernel wraps via
+            # i % tw_tiles == 0 (ADVICE r04: the materialize branch
+            # below would broadcast the scalar to the FULL batch in HBM)
+            twf = jnp.broadcast_to(tw, (1, LANES, size, L))
+        elif (
             t_m % LANES == 0
             and m % t_m == 0
             and tuple(lead[len(lead) - len(t_lead):]) == tuple(t_lead)
@@ -513,7 +524,8 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
         )
         cols3 = cols.reshape(C, total // LANES, LANES)
         tw3 = None
-        if tw is not None:
+        scale_1d = tw is not None and tw.ndim == 1
+        if tw is not None and not scale_1d:
             # align tw to the kernel's (k*M + m) element order, limb-major
             twf = jnp.moveaxis(
                 jnp.broadcast_to(tw, lead + (size, L)).reshape(m, size, L), 1, 0
@@ -523,7 +535,14 @@ def _dft_matmul(ops: LimbOps, x, size: int, inverse: bool, tw=None):
             field, cols3, chain, tw3, interpret=_FORCE_PALLAS == "interpret"
         )  # (L, total//128, 128)
         out = jnp.transpose(out3.reshape(L, size, m), (1, 2, 0))  # (S, M, L)
-        return jnp.moveaxis(out, 0, 1).reshape(lead + (size, L))
+        out = jnp.moveaxis(out, 0, 1).reshape(lead + (size, L))
+        if scale_1d:
+            # ADVICE r04: do NOT fold a scalar scale through this path —
+            # the fold would materialize its full-batch broadcast as a
+            # kernel operand; a separate lazily-broadcast ops.mul is one
+            # fused elementwise pass
+            out = ops.mul(out, tw)
+        return out
 
     cols = jnp.moveaxis(cols, 0, 2)  # (S, M, C)
     out = _mont_reduce_wide(ops, cols, size)  # (S, M, L)
@@ -540,6 +559,9 @@ def ntt_matmul(ops: LimbOps, x, inverse: bool = False, scale=None):
     level's fused twiddle multiply (the iNTT's 1/N — one full read+write
     pass over the array saved vs a separate post-multiply)."""
     n = x.shape[-2]
+    # intt() calls this directly (bypassing ntt()'s assert); a
+    # non-power-of-two n would silently compute garbage via n2 = n // n1
+    assert n & (n - 1) == 0, f"ntt_matmul needs a power-of-two length, got {n}"
     radix = min(RADIX, max_radix(ops.field))
     if n == 1:
         return x if scale is None else ops.mul(x, scale)

@@ -94,7 +94,139 @@ def stage1_analysis(log_t, drop_min, seq_min=None):
         nttmod._LDE_SEQUENTIAL_MIN = old_seq
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=2)
+def _big_prover(log_t):
+    from hodor_tpu.field import F_STARK
+    from hodor_tpu.models import VDF
+    from hodor_tpu.prover import Prover
+
+    t = 1 << log_t
+    witness, props = VDF(F_STARK, 1, 2, 3).into_arp()
+    props.num_rows = t
+    return Prover(props.clone(), lde_factor=16, fri_final_degree_plus_one=1)
+
+
+def stage_g_analysis(log_t, drop_min):
+    """G LDE + oracle program at D = 2*T (quadratic VDF max power 2)."""
+    import jax.numpy as jnp
+
+    os.environ["HODOR_TREE_DROP_MIN"] = str(drop_min)
+    p = _big_prover(log_t)
+    d = (1 << log_t) * p.ali.max_constraint_power
+    gp = jax.ShapeDtypeStruct((d, p.ops.n16), jnp.uint32)
+    return analyze(p._stage_g_fn.lower(gp).compile())
+
+
+def calc_g_analysis(log_t):
+    """ALI G composition program (calculate_g's jitted core)."""
+    import jax.numpy as jnp
+
+    from hodor_tpu.transcript import Blake2sTranscript
+
+    p = _big_prover(log_t)
+    ali = p.ali
+    ops = p.ops
+    t = 1 << log_t
+    wc = jax.ShapeDtypeStruct((2, t, ops.n16), jnp.uint32)
+    cch, bch = ali.draw_g_challenges(Blake2sTranscript(p.field))
+    c_alphas = ops.encode([a for a, _ in cch]) if cch else None
+    c_betas = ops.encode([b for _, b in cch]) if cch else None
+    b_alphas = ops.encode([a for a, _ in bch]) if bch else None
+    b_betas = ops.encode([b for _, b in bch]) if bch else None
+    fn = jax.jit(ali._calculate_g_traced)
+    lowered = fn.lower(
+        wc, c_alphas, c_betas, b_alphas, b_betas,
+        dict(ali.constraint_divisors), dict(ali.boundary_divisors),
+        ali.coset_values,
+    )
+    return analyze(lowered.compile())
+
+
+def deep_analysis(log_t, drop_min=1 << 22):
+    """The DEEP program at full h1/h2 scale (the stage that compiled to
+    25.5 GiB in run4d step_2 via _domain_points' unchunked powers)."""
+    import jax.numpy as jnp
+
+    os.environ["HODOR_TREE_DROP_MIN"] = str(drop_min)
+    p = _big_prover(log_t)
+    ali = p.ali
+    ops = p.ops
+    t = 1 << log_t
+    L = ops.n16
+    n_f = t * 16
+    n_g = t * ali.max_constraint_power * 16
+    m = len(ali.all_masks)
+    regs = tuple(mk.register_index for mk in ali.all_masks)
+    import jax as _jax
+
+    fn = _jax.jit(ali._deep_traced, static_argnums=(5,))
+    sds = lambda *s: jax.ShapeDtypeStruct(s, jnp.uint32)
+    lowered = fn.lower(
+        sds(2, t, L), sds(2, n_f, L), sds(t * ali.max_constraint_power, L),
+        sds(n_g, L),
+        {
+            "z": sds(L), "alphas": sds(m, L), "roots": sds(m, L),
+            "xs_f": sds(n_f, L), "xs_g": sds(n_g, L),
+        },
+        regs,
+    )
+    return analyze(lowered.compile())
+
+
+def powers_analysis(log_n):
+    """ops.powers at 2^log_n (the _domain_points builder program)."""
+    import jax.numpy as jnp
+
+    from hodor_tpu.field import F_STARK
+    from hodor_tpu.field.limbs import ops_for
+
+    ops = ops_for(F_STARK)
+    fn = jax.jit(lambda g: ops.powers(g, 1 << log_n))
+    lowered = fn.lower(jax.ShapeDtypeStruct((ops.n16,), jnp.uint32))
+    return analyze(lowered.compile())
+
+
 def main():
+    # subcommand mode: probe exactly the configs[3]-scale programs that
+    # failed on chip (run4c/run4d), one per invocation so a hung compile
+    # only loses that probe
+    if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+        cmd = sys.argv[1]
+        arg = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+        if cmd == "prove_all":
+            # ONE prover init (the expensive part at 2^20 on CPU), then
+            # every stage program of the prove compiled+analyzed
+            out = {}
+            os.environ["HODOR_TREE_DROP_MIN"] = str(1 << 22)
+            for name, fn in (
+                (f"stage1_{arg}", lambda: stage1_analysis(arg, 1 << 22)),
+                (f"calc_g_{arg}", lambda: calc_g_analysis(arg)),
+                (f"stage_g_{arg}", lambda: stage_g_analysis(arg, 1 << 22)),
+                (f"deep_{arg}", lambda: deep_analysis(arg)),
+                (f"fri_{arg + 4}", lambda: fri_chain_analysis(arg + 4, 1 << 22)),
+                (f"fri_{arg + 5}", lambda: fri_chain_analysis(arg + 5, 1 << 22)),
+            ):
+                try:
+                    out[name] = fn()
+                except Exception as e:  # noqa: BLE001
+                    out[name] = {"error": repr(e)[:300]}
+                print(json.dumps({name: out[name]}), flush=True)
+            print("FINAL", json.dumps(out))
+            return
+        fns = {
+            "stage1": lambda: stage1_analysis(arg, 1 << 22),
+            "stage_g": lambda: stage_g_analysis(arg, 1 << 22),
+            "calc_g": lambda: calc_g_analysis(arg),
+            "deep": lambda: deep_analysis(arg),
+            "powers": lambda: powers_analysis(arg),
+            "fri": lambda: fri_chain_analysis(arg, 1 << 22),
+        }
+        res = fns[cmd]()
+        print(json.dumps({f"{cmd}_{arg}": res}))
+        return
     max_log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     out = {}
     for log_n in (20, 22, max_log_n):

@@ -67,7 +67,28 @@ def cmd_check():
             print(f"  first mismatches: {bad[:5].tolist()}")
 
 
+def _timed_chain(jfn, x, reps):
+    """Wall time of `reps` CHAINED applications (each consumes the
+    previous output, so no runtime can overlap, dedupe, or skip them)
+    plus one 1-element fetch that forces the whole chain to have
+    actually executed. The fetch and dispatch costs are constant, so
+    differencing two rep counts cancels them (see _time_ntt)."""
+    y = x
+    t0 = time.time()
+    for _ in range(reps):
+        y = jfn(y)
+    y.block_until_ready()
+    np.asarray(jax.device_get(y[0, 0]))
+    return time.time() - t0
+
+
 def _time_ntt(log_n, kernel_name):
+    """Honest per-transform wall: run4d step_8 recorded 0.04 ms at 2^16
+    for the v1 path — physically impossible (its int32 column
+    intermediates alone are >4x the HBM SOL) — because independent
+    queued executions let the tunnel runtime report before the work
+    drained. Chained reps + rep-count differencing cannot be gamed:
+    T(R) = overhead + R*per_transform, so per = (T(2R) - T(R)) / R."""
     from hodor_tpu.field import F_STARK, ops_for
     from hodor_tpu.ntt import ntt
     from hodor_tpu.ntt.matmul import ntt_matmul
@@ -80,13 +101,13 @@ def _time_ntt(log_n, kernel_name):
     jfn(x).block_until_ready()
     print(f"# compile+first {time.time()-t0:.1f}s")
     reps = int(os.environ.get("NTT_REPS", "5" if log_n <= 20 else "3"))
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = jfn(x)
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps
+    t1 = _timed_chain(jfn, x, reps)
+    t2 = _timed_chain(jfn, x, 2 * reps)
+    dt = max((t2 - t1) / reps, 1e-9)
     muls = (1 << log_n) // 2 * log_n
+    print(
+        f"# naive walls: T({reps})={t1*1e3:.1f} ms T({2*reps})={t2*1e3:.1f} ms"
+    )
     print(
         f"{kernel_name} ntt 2^{log_n}: {dt*1e3:.2f} ms, {muls/dt:.3e} field-muls/s"
     )
@@ -109,12 +130,9 @@ def _time_ntt_batch(log_n, batch):
     jfn(x).block_until_ready()
     print(f"# compile+first {time.time()-t0:.1f}s")
     reps = int(os.environ.get("NTT_REPS", "5"))
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = jfn(x)
-    out.block_until_ready()
-    dt = (time.time() - t0) / reps / batch
+    t1 = _timed_chain(jfn, x, reps)
+    t2 = _timed_chain(jfn, x, 2 * reps)
+    dt = max((t2 - t1) / reps, 1e-9) / batch
     muls = (1 << log_n) // 2 * log_n
     print(
         f"matmul ntt 2^{log_n} x{batch}: {dt*1e3:.2f} ms/transform, "

@@ -231,13 +231,19 @@ def check_ntt_level(field, ops, impl="bf16"):
     rng = np.random.default_rng(18)
     try:
         mm._V2_IMPL = impl
-        for with_tw, m in ((True, 512), (False, 128)):
+        # m = 8192 (m_tiles = 64) is the shape class that OOM'd scoped
+        # vmem in run4d while m_tiles = 4 passed — qualification must
+        # cover the DEPLOYED tile counts, not just a small stand-in.
+        # "scale" exercises the tw_tiles = 1 wrap (iNTT 1/N fold).
+        for with_tw, m in ((True, 512), (False, 128), (True, 8192),
+                           ("scale", 512)):
             x = jax.device_put(_rand_limbs(rng, (m, 128, ops.n16), field))
-            tw = (
-                jax.device_put(_rand_limbs(rng, (m, 128, ops.n16), field))
-                if with_tw
-                else None
-            )
+            if with_tw == "scale":
+                tw = jax.device_put(_rand_limbs(rng, (ops.n16,), field))
+            elif with_tw:
+                tw = jax.device_put(_rand_limbs(rng, (m, 128, ops.n16), field))
+            else:
+                tw = None
             mm._FORCE_PALLAS = "off"
             mm._FORCE_FUSED = "off"
             mm._FORCE_V2 = False
@@ -361,6 +367,17 @@ def main():
     # kernel off; a real Mosaic reject will simply fail again).
     retry_failed = "--retry-failed" in sys.argv
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
+
+    # --reset: drop the prior result for the named kernels (use after a
+    # kernel's code or check changes — a stale `true` would otherwise
+    # gate the NEW kernel on without it ever compiling on hardware).
+    if "--reset" in sys.argv:
+        table = _load()
+        for name in only or KERNELS:
+            table.pop(name, None)
+        _save(table)
+        print(json.dumps(table), flush=True)
+        return 0
 
     if "--finalize" in sys.argv:
         table = _load()
