@@ -305,6 +305,10 @@ def bench_prove():
                 "vs_baseline": est_ref / warm,
                 "vs_cpu_estimate": est_ref / warm,
                 "cold_prove_s": cold,
+                # chip compile seconds as a first-class metric (VERDICT
+                # r04 item 8): cold wall minus warm wall is almost
+                # entirely remote-compile time at these scales
+                "compile_est_s": round(cold - warm, 1),
                 # per-stage walls are async-skewed unless synced
                 # (hodor_tpu/profiling.py); the TOTAL wall is honest
                 # either way — stages attribute truthfully only when

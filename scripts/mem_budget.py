@@ -189,6 +189,45 @@ def powers_analysis(log_n):
     return analyze(lowered.compile())
 
 
+def multihost_plan(log_t=26, n_dev_list=(8, 16, 32), r=2, power=2, lde=16):
+    """configs[4] groundwork (VERDICT r04 item 7): per-DEVICE resident
+    bytes for every pipeline array of a 2^log_t-row prove sharded over
+    n_dev devices, vs the v5e (16 GiB) and v5p (95 GiB) HBM budgets.
+
+    Sharding model (hodor_tpu/parallel + parallel/multihost): evaluation
+    domains row-sharded; twiddle/omega tables replicated only at O(sqrt)
+    strided-factor size; Merkle trees shard-local subtrees + replicated
+    top (tree-dropped above 2^22 leaves, so only values + roots are
+    resident); xs domain tables built in-graph (round-5), so temps not
+    residents. FRI intermediate values halve per round: sum = 2x l0.
+    """
+    t = 1 << log_t
+    L = 16  # F_STARK u16 limbs held in u32 lanes
+    el = L * 4  # bytes per field element
+    d = t * power
+    h1, h2 = t * lde, d * lde
+    rows = []
+    for n_dev in n_dev_list:
+        per = {
+            "witness+coeffs": 2 * r * t * el / n_dev,
+            "f_ldes": r * h1 * el / n_dev,
+            "g_poly": d * el / n_dev,
+            "g_lde": h2 * el / n_dev,
+            "h1+h2_lde": (h1 + h2) * el / n_dev,
+            "fri_values(~2x l0)": 2 * (h1 + h2) * el / n_dev,
+            "tree_roots+small": 64 * 1024,
+        }
+        total = sum(per.values())
+        rows.append({
+            "n_dev": n_dev,
+            **{k: round(v / GIB, 3) for k, v in per.items()},
+            "total_GiB_per_dev": round(total / GIB, 2),
+            "fits_v5e_16G": total < 12 * GIB,  # leave 4 GiB for temps
+            "fits_v5p_95G": total < 80 * GIB,
+        })
+    return {"log_t": log_t, "r": r, "power": power, "lde": lde, "rows": rows}
+
+
 def main():
     # subcommand mode: probe exactly the configs[3]-scale programs that
     # failed on chip (run4c/run4d), one per invocation so a hung compile
@@ -223,6 +262,7 @@ def main():
             "deep": lambda: deep_analysis(arg),
             "powers": lambda: powers_analysis(arg),
             "fri": lambda: fri_chain_analysis(arg, 1 << 22),
+            "multihost": lambda: multihost_plan(arg),
         }
         res = fns[cmd]()
         print(json.dumps({f"{cmd}_{arg}": res}))
