@@ -391,8 +391,11 @@ def main():
         np.asarray(jax.device_get(y[0, 0]))
         return time.time() - t0
 
+    timed_chain(1)  # warm the eager fetch path (its own remote compile)
     t_half = timed_chain(reps)
     t_full = timed_chain(2 * reps)
+    if t_full < t_half:  # transient stall polluted the first run
+        t_half = timed_chain(reps)
     dt = max((t_full - t_half) / reps, 1e-9)
     print(
         f"# chained walls: T({reps})={t_half:.3f}s T({2*reps})={t_full:.3f}s",
