@@ -56,7 +56,15 @@ BENCH_BATCH=8 BENCH_MODE=prove BENCH_LOG_ROWS=14 step 1200 4800 python bench.py
 BENCH_BATCH=4 BENCH_MODE=prove BENCH_LOG_ROWS=16 step 1200 4800 python bench.py
 BENCH_BATCH=2 BENCH_MODE=prove BENCH_LOG_ROWS=18 step 900 4800 python bench.py
 
-# (3) where the 2^20 transform spends its time (kernel-gap attribution)
+# (3) honest NTT ladder re-run: wave 1's chained walls were polluted by
+# the eager-fetch compile landing inside the first timed run (fixed:
+# warmup chain). v2-on vs v2-off at 2^16, then 2^20/2^24.
+NTT_REPS=20 step 240 2400 python scripts/tpu_bench.py ntt 16
+HODOR_NTT_V2=0 NTT_REPS=20 step 240 2400 python scripts/tpu_bench.py ntt 16
+NTT_REPS=10 step 240 2400 python scripts/tpu_bench.py ntt 20
+NTT_REPS=5 step 300 3600 python scripts/tpu_bench.py ntt 24
+
+# (4) where the 2^20 transform spends its time (kernel-gap attribution)
 step 400 3600 python scripts/tpu_bench.py profile 20
 
 echo "=== tpu_run5b done ($(left)s before deadline) ==="
