@@ -19,6 +19,7 @@ src/ali/per_register/deep.rs, restructured TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, List, Tuple
 
@@ -569,9 +570,16 @@ class ALIInstance:
                 "roots": ops.encode(roots),
                 # domain-point arrays are per-domain constants: computed
                 # once per instance and reused across proves instead of
-                # re-deriving the O(N) powers chain inside every DEEP
-                "xs_f": self._domain_points(n_f),
-                "xs_g": self._domain_points(n_g),
+                # re-deriving the O(N) powers chain inside every DEEP —
+                # EXCEPT at huge domains, where keeping them resident
+                # costs GiBs at the prove's HBM peak: above
+                # _XS_INGRAPH_MIN they are rebuilt in-graph as temps
+                **(
+                    {"xs_f": self._domain_points(n_f),
+                     "xs_g": self._domain_points(n_g)}
+                    if n_f < self._XS_INGRAPH_MIN
+                    else {}
+                ),
             },
             tuple(regs),
         )
@@ -615,7 +623,8 @@ class ALIInstance:
                     ),
                     in_axes=(0, 0, 0, 0,
                              {"z": 0, "alphas": 0, "roots": 0,
-                              "xs_f": None, "xs_g": None}),
+                              **({"xs_f": None, "xs_g": None}
+                                 if n_f < self._XS_INGRAPH_MIN else {})}),
                 )
             )
         h1_b, h2_b, f_at_z_dev, g_at_z_dev = self._deep_batch_fn(
@@ -624,8 +633,12 @@ class ALIInstance:
                 "z": ops.encode(zs),
                 "alphas": ops.encode(alphas_b),
                 "roots": ops.encode(roots_b),
-                "xs_f": self._domain_points(n_f),
-                "xs_g": self._domain_points(n_g),
+                **(
+                    {"xs_f": self._domain_points(n_f),
+                     "xs_g": self._domain_points(n_g)}
+                    if n_f < self._XS_INGRAPH_MIN
+                    else {}
+                ),
             },
         )
         f_np, g_np = jax.device_get((f_at_z_dev, g_at_z_dev))  # ONE sync
@@ -633,6 +646,11 @@ class ALIInstance:
                     for b in range(len(transcripts))]
         g_at_z = [int(v) for v in self.ops.decode(g_np)]
         return h1_b, h2_b, f_at_z_m, g_at_z
+
+    # above this f-LDE size the DEEP xs tables are built in-graph
+    # (temps) instead of held as resident device constants; at
+    # h1=2^24/h2=2^25 that residency is 3 GiB at the prove's HBM peak
+    _XS_INGRAPH_MIN = 1 << int(os.environ.get("HODOR_XS_INGRAPH_MIN", "22"))
 
     def _domain_points(self, n: int):
         """[1, w, w^2, ...] over the size-n domain, computed once per
@@ -662,8 +680,14 @@ class ALIInstance:
 
         # divisors 1/(x - m*z) on the f-LDE domain (deep.rs:57-72); the
         # domain points are PLAIN Omega^i (evaluate_at_domain_for_degree_one,
-        # no coset shift)
-        xs_f = scalars["xs_f"]  # (N_f, L)
+        # no coset shift). At configs[3] scale the xs tables are built
+        # IN-GRAPH (temps, chunked powers) instead of passed in as
+        # cached device constants: resident xs_f+xs_g is 3 GiB at
+        # h1=2^24/h2=2^25, right when HBM is fullest (_domain_points).
+        xs_f = scalars.get("xs_f")  # (N_f, L)
+        if xs_f is None:
+            dom_f = Domain.new_for_size(field, n_f)
+            xs_f = ops.powers(ops.const(dom_f.generator), n_f)
         diffs = ops.sub(xs_f[None, :, :], roots[:, None, :])  # (M, N_f, L)
         m = diffs.shape[0]
         inv = self._batched_inverse_2d(diffs.reshape(m * n_f, -1)).reshape(m, n_f, -1)
@@ -676,7 +700,10 @@ class ALIInstance:
 
         # h2 = (g_lde - g(z)) / (x - z) on the g-LDE domain (deep.rs:129-146)
         g_at_z = evaluate_at(ops, g_poly, z)
-        xs_g = scalars["xs_g"]
+        xs_g = scalars.get("xs_g")
+        if xs_g is None:
+            dom_g = Domain.new_for_size(field, n_g)
+            xs_g = ops.powers(ops.const(dom_g.generator), n_g)
         den = self._batched_inverse_2d(ops.sub(xs_g, z))
         h2_lde = ops.mul(ops.sub(g_lde, g_at_z), den)
 
