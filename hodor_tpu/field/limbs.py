@@ -606,22 +606,27 @@ class LimbOps:
             work = jnp.concatenate([arr, pad], axis=0)
         else:
             work = arr
-        # up-sweep: levels[k][i] = product of a[i*2^k .. (i+1)*2^k)
+        # up-sweep pairing is (i, i + m/2), NOT (2i, 2i+1): contiguous
+        # half-slices instead of strided ones, and the down-sweep
+        # re-assembly is a CONCAT instead of an interleave — the old
+        # jnp.stack([...], axis=1).reshape put a (m/2, 2, L) copy in the
+        # program whose T(2,128) tiling pads the (2, 16) minors 8x:
+        # 32 GiB at the DEEP stage's (4 masks x 2^24)-element inversion
+        # (run5 step_11 compile OOM). Inverses are unique, so the tree
+        # shape cannot change any output value.
         levels = [work]
         cur = work
         while cur.shape[0] > 1:
-            cur = self.mul(cur[0::2], cur[1::2])
+            half = cur.shape[0] // 2
+            cur = self.mul(cur[:half], cur[half:])
             levels.append(cur)
         inv = self.inv_fermat(cur[0])[None, :]  # inverse of the grand product
         # down-sweep: inv of each node from its parent's inverse and its
         # sibling's product
         for lvl in reversed(levels[:-1]):
-            left, right = lvl[0::2], lvl[1::2]
-            inv_left = self.mul(inv, right)
-            inv_right = self.mul(inv, left)
-            inv = jnp.stack([inv_left, inv_right], axis=1).reshape(
-                lvl.shape[0], self.n16
-            )
+            half = lvl.shape[0] // 2
+            a, b = lvl[:half], lvl[half:]
+            inv = jnp.concatenate([self.mul(inv, b), self.mul(inv, a)], axis=0)
         return inv[:n]
 
     def assert_nonzero(self, arr):
