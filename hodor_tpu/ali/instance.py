@@ -688,15 +688,38 @@ class ALIInstance:
         if xs_f is None:
             dom_f = Domain.new_for_size(field, n_f)
             xs_f = ops.powers(ops.const(dom_f.generator), n_f)
-        diffs = ops.sub(xs_f[None, :, :], roots[:, None, :])  # (M, N_f, L)
-        m = diffs.shape[0]
-        inv = self._batched_inverse_2d(diffs.reshape(m * n_f, -1)).reshape(m, n_f, -1)
+        m = roots.shape[0]
 
-        # h1 = sum_m alpha_m * (f_lde[reg] - f(mz)) / (x - mz) (deep.rs:74-84)
-        f_sel = jnp.stack([f_ldes[r] for r in regs], axis=0)  # (M, N_f, L)
-        num = ops.sub(f_sel, f_at_z_m[:, None, :])
-        term = ops.mul(ops.mul(num, alphas[:, None, :]), inv)
-        h1_lde = ops.sum_reduce(term, axis=0)  # (N_f, L)
+        # h1 = sum_m alpha_m * (f_lde[reg] - f(mz)) / (x - mz)
+        # (deep.rs:74-84). At configs[3] scale the all-masks-at-once form
+        # held FOUR (M, N_f, L) = 4 GiB temps simultaneously (diffs, inv,
+        # num, term — run5 step_13: 16.06G program, 320 MB over HBM); a
+        # fori_loop over masks sequences them so only one mask's arrays
+        # are live. Field adds are exact mod p, so accumulation order
+        # cannot change any value; small shapes keep the batched form
+        # (fewer, wider kernels + stable cached programs).
+        if n_f >= self._XS_INGRAPH_MIN:
+            regs_arr = jnp.asarray(regs, jnp.int32)
+
+            def _mask_body(i, h1):
+                root = roots[i]
+                diffs_i = ops.sub(xs_f, root)  # (N_f, L)
+                inv_i = self._batched_inverse_2d(diffs_i)
+                f_r = jnp.take(f_ldes, regs_arr[i], axis=0)  # (N_f, L)
+                num_i = ops.sub(f_r, f_at_z_m[i])
+                return ops.add(h1, ops.mul(ops.mul(num_i, alphas[i]), inv_i))
+
+            h1_lde = jax.lax.fori_loop(
+                0, m, _mask_body,
+                jnp.broadcast_to(ops.zero_m, (n_f, ops.n16)).astype(jnp.uint32),
+            )
+        else:
+            diffs = ops.sub(xs_f[None, :, :], roots[:, None, :])  # (M, N_f, L)
+            inv = self._batched_inverse_2d(diffs.reshape(m * n_f, -1)).reshape(m, n_f, -1)
+            f_sel = jnp.stack([f_ldes[r] for r in regs], axis=0)  # (M, N_f, L)
+            num = ops.sub(f_sel, f_at_z_m[:, None, :])
+            term = ops.mul(ops.mul(num, alphas[:, None, :]), inv)
+            h1_lde = ops.sum_reduce(term, axis=0)  # (N_f, L)
 
         # h2 = (g_lde - g(z)) / (x - z) on the g-LDE domain (deep.rs:129-146)
         g_at_z = evaluate_at(ops, g_poly, z)

@@ -150,6 +150,10 @@ def omega_table_device(field: Field, log_n: int, inverse: bool):
 # constant-geometry form keeps compile time flat in log N.
 _UNROLL_MAX_LOG_N = 8
 
+# Pease omega tables above this many elements are built in-graph
+# (chunked powers) instead of embedded as HLO literals
+_TW_LITERAL_MAX_PEASE = 1 << 19
+
 
 def ntt(ops: LimbOps, a, inverse: bool = False):
     """Natural-order DFT over the 2^k domain: out[k] = sum_j a[j] w^(jk)
@@ -199,7 +203,17 @@ def _ntt_pease(ops: LimbOps, a, log_n: int, inverse: bool):
     n = 1 << log_n
     half_n = n // 2
     idx_u, idx_v, tw_idx, final_perm = _pease_tables(log_n)
-    omega_table = _omega_table(ops.field, log_n, inverse)  # (N/2, L)
+    if half_n > _TW_LITERAL_MAX_PEASE:
+        # large Pease tables (F_BLS/F_P63 past 2^19): an (N/2, L) HLO
+        # literal is 10s-100s of MB — it bloats the shipped program and
+        # stalls XLA constant folding for minutes (observed: the 2^24
+        # F_P63 multihost harness). Build in-graph from the seed with
+        # the chunked powers chain instead; identical values.
+        domain = Domain.new_for_size(ops.field, n)
+        w = domain.generator_inv if inverse else domain.generator
+        omega_table = ops.powers(ops.const(w), half_n)
+    else:
+        omega_table = _omega_table(ops.field, log_n, inverse)  # (N/2, L)
     idx_u = jnp.asarray(idx_u)
     idx_v = jnp.asarray(idx_v)
     tw_idx = jnp.asarray(tw_idx)
