@@ -58,7 +58,13 @@ def _build_levels(leaf_limbs):
     levels = []
     cur = leaf_hashes
     while cur.shape[0] > 1:
-        nxt = hash_nodes(cur[0::2], cur[1::2])
+        # concat(cur[0::2], cur[1::2], axis=-1) IS cur.reshape(n/2, 16):
+        # siblings are adjacent rows, so the 64-byte parent message is a
+        # free contiguous reshape instead of two strided gathers + concat
+        # (one fewer full pass over every tree level)
+        from .blake2s import hash_block
+
+        nxt = hash_block(cur.reshape(cur.shape[0] // 2, 16), 64)
         levels.append(nxt)
         cur = nxt
     return leaf_hashes, levels
