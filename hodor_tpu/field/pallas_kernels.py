@@ -777,6 +777,13 @@ def _blake2s_call(mid: tuple, t_total: int, rows: int, interpret: bool):
     return call
 
 
+# above this many hashes per call the limb-major transpose + digests are
+# built in lax.map chunks: at 2^24 leaves the (16, M, 128) message
+# transpose alone is a 1 GiB temp per oracle — chunking caps the
+# per-step footprint at ~128 MiB while the output concat is the data
+_HASH_CHUNK = 1 << 21
+
+
 def pallas_blake2s(m_words, message_bytes: int, mid: tuple, interpret: bool = False):
     """Keyed-midstate Blake2s of (..., 16)-word single blocks via one
     fused kernel. m_words: (..., 16) uint32; total element count must be
@@ -784,11 +791,25 @@ def pallas_blake2s(m_words, message_bytes: int, mid: tuple, interpret: bool = Fa
     shape = m_words.shape
     total = int(np.prod(shape[:-1]))
     assert total % (ROWS * LANES) == 0
-    m3 = jnp.moveaxis(m_words.reshape(total, 16), 1, 0).reshape(
-        16, total // LANES, LANES
-    )
-    out = _blake2s_call(mid, 64 + message_bytes, ROWS, interpret)(m3)
-    out = jnp.moveaxis(out.reshape(8, total), 0, 1)
+    call = _blake2s_call(mid, 64 + message_bytes, ROWS, interpret)
+
+    def _hash_flat(mw):
+        n = mw.shape[0]
+        m3 = jnp.moveaxis(mw, 1, 0).reshape(16, n // LANES, LANES)
+        out = call(m3)
+        return jnp.moveaxis(out.reshape(8, n), 0, 1)
+
+    flat = m_words.reshape(total, 16)
+    if (
+        total > _HASH_CHUNK
+        and total % _HASH_CHUNK == 0
+        and _HASH_CHUNK % (ROWS * LANES) == 0
+    ):
+        out = jax.lax.map(
+            _hash_flat, flat.reshape(total // _HASH_CHUNK, _HASH_CHUNK, 16)
+        ).reshape(total, 8)
+    else:
+        out = _hash_flat(flat)
     return out.reshape(shape[:-1] + (8,))
 
 

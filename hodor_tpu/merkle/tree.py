@@ -58,13 +58,14 @@ def _build_levels(leaf_limbs):
     levels = []
     cur = leaf_hashes
     while cur.shape[0] > 1:
-        # concat(cur[0::2], cur[1::2], axis=-1) IS cur.reshape(n/2, 16):
-        # siblings are adjacent rows, so the 64-byte parent message is a
-        # free contiguous reshape instead of two strided gathers + concat
-        # (one fewer full pass over every tree level)
-        from .blake2s import hash_block
-
-        nxt = hash_block(cur.reshape(cur.shape[0] // 2, 16), 64)
+        # NOTE: concat(cur[0::2], cur[1::2], axis=-1) IS cur.reshape
+        # (n/2, 16) — but replacing it with the "free" reshape REGRESSED
+        # runtime HBM at the 2^20-row prove (run5e steps 1-2 exhausted
+        # stage1 where the gather+concat form ran): the materialized
+        # concat acts as a fusion barrier XLA schedules tightly, while
+        # the reshape fused the downstream limb-major transpose into a
+        # worse-living buffer. Keep the explicit form.
+        nxt = hash_nodes(cur[0::2], cur[1::2])
         levels.append(nxt)
         cur = nxt
     return leaf_hashes, levels

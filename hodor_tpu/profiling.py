@@ -57,13 +57,18 @@ class StageTimer:
             yield
         finally:
             if _sync_stages():
+                # ONE device barrier, not per-array blocks: TPU executes
+                # enqueued programs in order, so blocking on a trivial op
+                # submitted now implies everything before it finished.
+                # The previous per-live-array loop paid one ~30 ms tunnel
+                # RTT per array — the FRI stage leaves O(hundreds) live
+                # (trees x levels), which fabricated "FRI = 13.5 s of the
+                # 2^18 prove" while the isolated pair ladder is 455 ms
+                # (run5e step_3). Measured-stall artifact, not work.
                 import jax
+                import jax.numpy as jnp
 
-                for a in jax.live_arrays():
-                    try:
-                        a.block_until_ready()
-                    except Exception:
-                        pass  # deleted/donated buffers
+                jax.jit(lambda: jnp.zeros((), jnp.uint32))().block_until_ready()
             self.records.append(StageRecord(name, time.perf_counter() - t0))
 
     def total(self) -> float:
