@@ -56,7 +56,10 @@ timeout 60 python scripts/pick_preferred.py 'quadratic_vdf_2.20_rows_prove_wall_
 # 455 ms — run5e step_3)
 HODOR_SYNC_STAGES=1 BENCH_MODE=prove BENCH_LOG_ROWS=18 step 900 5400 python bench.py
 
-# (3) CubicVDF 2^20 (2^18 ran in wave-4)
+# (3) CubicVDF at scale (wave-4's 2^18 attempt ran the regressed
+# merkle build; re-run with good code)
+BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=18 step 1500 5400 python bench.py
+# CubicVDF 2^20
 if ! HODOR_FRI_EAGER=1 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 7200 python bench.py; then
   HODOR_NTT_V2=0 HODOR_FRI_EAGER=1 HODOR_LDE_SEQ_MIN=27 \
     BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 2400 7200 python bench.py
