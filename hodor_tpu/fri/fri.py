@@ -200,9 +200,14 @@ def _fri_chain_eager(ops: LimbOps, lde_values, num_steps: int, omegas_inv,
         lh, lv = _build_levels(v)
         return lh, tuple(lv), digest_to_challenge_mont(ops, lv[-1][0])
 
-    @partial(jax.jit, static_argnums=(2,))
-    def _fold(v, ch, stride):
-        return _fold_round_body(ops, v, ch, stride, omegas_inv)
+    # omegas_inv is an ARGUMENT, never a closure capture: a closed-over
+    # device array is embedded in the program payload as a literal, and
+    # the h1/h2 tables are 0.5-1 GiB at configs[3] scale — the remote
+    # compile service rejects the upload (HTTP 413 "length limit
+    # exceeded", surfacing as Broken pipe; run5f/5g steps 1-2).
+    @partial(jax.jit, static_argnums=(3,))
+    def _fold(v, ch, om, stride):
+        return _fold_round_body(ops, v, ch, stride, om)
 
     def _keep(v, lh, lv):
         return () if v.shape[0] >= drop_min else (lh, tuple(lv))
@@ -213,7 +218,7 @@ def _fri_chain_eager(ops: LimbOps, lde_values, num_steps: int, omegas_inv,
     trees.append(_keep(values, lh, lv))
     roots.append(lv[-1][0])
     for i in range(num_steps):
-        folded = _fold(values, challenge, 1 << i)
+        folded = _fold(values, challenge, omegas_inv, 1 << i)
         lh, lv, challenge = _commit(folded)
         trees.append(_keep(folded, lh, lv))
         roots.append(lv[-1][0])
