@@ -95,7 +95,19 @@ def _fold_round_body(ops: LimbOps, values, challenge_limbs, stride: int, omegas_
     k = values.shape[0]
     half = k // 2
     lo, hi = values[:half], values[half:]
-    w = omegas_inv[::stride][:half]
+    if isinstance(omegas_inv, int):
+        # omegas_inv = log2 of the chain's l0 domain (STATIC): build this
+        # round's twiddles IN-GRAPH as a temp — w_j = W^(-j*stride) via
+        # the chunked powers chain — instead of keeping the full (N/2, L)
+        # table device-resident (0.5-1 GiB at configs[3], right at the
+        # ladder's HBM peak) or embedding it in the program payload (the
+        # closed-over form blew the compile service's upload limit).
+        # Identical values: powers of W^-stride ARE the strided table.
+        dom = Domain.new_for_size(ops.field, 1 << omegas_inv)
+        base = pow(dom.generator_inv, stride, ops.field.p)
+        w = ops.powers(ops.const(base), half)
+    else:
+        w = omegas_inv[::stride][:half]
 
     from ..field.limbs import _pallas_enabled
 
@@ -146,7 +158,7 @@ def _maybe_drop_tree(values, leaf_hashes, levels, drop_min: int):
     return (leaf_hashes, tuple(levels))
 
 
-@partial(jax.jit, static_argnums=(0, 2, 4))
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def _fri_chain(ops: LimbOps, lde_values, num_steps: int, omegas_inv, drop_min: int = 1 << 62):
     """The ENTIRE FRI prover ladder as one device program: commit l0,
     then per round fold -> leaf hash -> all tree levels -> root ->
@@ -200,28 +212,43 @@ def _fri_chain_eager(ops: LimbOps, lde_values, num_steps: int, omegas_inv,
         lh, lv = _build_levels(v)
         return lh, tuple(lv), digest_to_challenge_mont(ops, lv[-1][0])
 
+    @jax.jit
+    def _commit_drop(v):
+        # root-only variant for tree-dropped sizes: _commit RETURNS the
+        # full tree, so in eager mode every round's 0.5-1 GiB of leaf
+        # hashes + levels stayed live as program outputs across the
+        # async dispatch pipeline (tree-dropping never engaged) — the
+        # runtime exhaustion of run5g steps 4-6. Here the levels are
+        # program TEMPS; only the 8-word root leaves.
+        lh, lv = _build_levels(v)
+        return lv[-1][0], digest_to_challenge_mont(ops, lv[-1][0])
+
     # omegas_inv is an ARGUMENT, never a closure capture: a closed-over
     # device array is embedded in the program payload as a literal, and
     # the h1/h2 tables are 0.5-1 GiB at configs[3] scale — the remote
     # compile service rejects the upload (HTTP 413 "length limit
     # exceeded", surfacing as Broken pipe; run5f/5g steps 1-2).
-    @partial(jax.jit, static_argnums=(3,))
+    @partial(jax.jit, static_argnums=(2, 3))
     def _fold(v, ch, om, stride):
         return _fold_round_body(ops, v, ch, stride, om)
 
-    def _keep(v, lh, lv):
-        return () if v.shape[0] >= drop_min else (lh, tuple(lv))
+    def commit(v):
+        if v.shape[0] >= drop_min:
+            root, ch = _commit_drop(v)
+            return (), root, ch
+        lh, lv, ch = _commit(v)
+        return (lh, tuple(lv)), lv[-1][0], ch
 
     trees, roots, intermediate = [], [], []
     values = lde_values
-    lh, lv, challenge = _commit(values)
-    trees.append(_keep(values, lh, lv))
-    roots.append(lv[-1][0])
+    tree, root, challenge = commit(values)
+    trees.append(tree)
+    roots.append(root)
     for i in range(num_steps):
         folded = _fold(values, challenge, omegas_inv, 1 << i)
-        lh, lv, challenge = _commit(folded)
-        trees.append(_keep(folded, lh, lv))
-        roots.append(lv[-1][0])
+        tree, root, challenge = commit(folded)
+        trees.append(tree)
+        roots.append(root)
         intermediate.append(folded)
         values = folded
     final_coeffs = jax.jit(lambda v: intt(ops, v))(values)
@@ -234,7 +261,7 @@ def _eager_mode() -> bool:
     return os.environ.get("HODOR_FRI_EAGER", "0") == "1"
 
 
-@partial(jax.jit, static_argnums=(0, 2, 5, 7))
+@partial(jax.jit, static_argnums=(0, 2, 3, 5, 6, 7))
 def _fri_chain_pair(ops, lde1, steps1, om1, lde2, steps2, om2, drop_min: int = 1 << 62):
     """Both FRI ladders (h1 and h2) in ONE device program. The chains
     are data-independent (each round's fold challenge derives from its
@@ -257,10 +284,9 @@ def fri_chain_pair_batch(field: Field, h1_b, h2_b, lde_factor: int,
     vmapped program per (sizes, steps, drop) so repeat batches reuse it."""
     ops = ops_for(field)
     from ..merkle.tree import tree_drop_min
-    from ..ntt import omega_table_device
 
     sizes = (h1_b.shape[1], h2_b.shape[1])
-    oms = tuple(omega_table_device(field, log2_floor(n), True) for n in sizes)
+    oms = tuple(log2_floor(n) for n in sizes)
     idpos = tuple(n // lde_factor for n in sizes)
     steps = tuple(
         log2_floor(d // output_coeffs_at_degree_plus_one) for d in idpos
@@ -335,11 +361,9 @@ class NaiveFriIop:
         assert output_coeffs_at_degree_plus_one & (output_coeffs_at_degree_plus_one - 1) == 0
         assert lde_factor & (lde_factor - 1) == 0
 
-        from ..ntt import omega_table_device
-
-        # device-computed twiddle table (a >=256 MB host upload of the
-        # host-cached form killed the axon backend - see ntt._omega_table)
-        omegas_inv = omega_table_device(field, log2_floor(n), True)  # (N/2, L)
+        # static log of the l0 domain: each fold round builds its own
+        # in-graph twiddle temp (see _fold_round_body)
+        omegas_inv = log2_floor(n)
 
         initial_degree_plus_one = n // lde_factor
         num_steps = log2_floor(initial_degree_plus_one // output_coeffs_at_degree_plus_one)
@@ -365,10 +389,9 @@ class NaiveFriIop:
         single device program + a single batched host fetch (roots and
         final coefficients of both chains in one transfer)."""
         ops = ops_for(field)
-        from ..ntt import omega_table_device
 
         sizes = (lde1.shape[0], lde2.shape[0])
-        oms = tuple(omega_table_device(field, log2_floor(n), True) for n in sizes)
+        oms = tuple(log2_floor(n) for n in sizes)
         idpos = tuple(n // lde_factor for n in sizes)
         steps = tuple(
             log2_floor(d // output_coeffs_at_degree_plus_one) for d in idpos

@@ -62,9 +62,8 @@ def fri_chain_analysis(log_n, drop_min):
     n = 1 << log_n
     lde_factor = 16
     num_steps = log2_floor(n // lde_factor)  # fold to degree 1
-    om = jax.ShapeDtypeStruct(((n // 2), ops.n16), jnp.uint32)
     vals = jax.ShapeDtypeStruct((n, ops.n16), jnp.uint32)
-    lowered = _fri_chain.lower(ops, vals, num_steps, om, drop_min)
+    lowered = _fri_chain.lower(ops, vals, num_steps, log_n, drop_min)
     return analyze(lowered.compile())
 
 
