@@ -205,6 +205,7 @@ class Prover:
             with timer.stage("witness+f_ldes+f_oracles"):
                 w_dev = self.arp.encode_witness(witness)
                 witness_polys, f_ldes, f_trees, f_roots_dev = self._stage1_fn(w_dev)
+                w_dev = None  # encoded witness is dead after stage1
                 f_roots = np.asarray(jax.device_get(f_roots_dev))  # SYNC: commit roots
             f_iop_roots = [digest_to_bytes(r) for r in f_roots]
             f_oracles = [
@@ -334,6 +335,14 @@ class Prover:
                         ops.encode([proto.final_coefficients])
                     )[0]
                 ck.save("fri", arrays, meta)
+
+        # Free buffers nothing below reads: witness coefficients and the
+        # G coefficient form are dead once DEEP has run (the query gather
+        # reads f_ldes/g_lde/h-values only). At configs[3] the gather
+        # program compiled 61 MB over HBM with them resident (run5h
+        # step_1) - ~0.4 GiB of margin for free.
+        witness_polys = None
+        g_poly = None
 
         # 7. commit final roots + coefficients (src/prover/mod.rs:118-127)
         transcript.commit_bytes(h1_proto.get_final_root())
