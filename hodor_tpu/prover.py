@@ -42,6 +42,12 @@ from .merkle.tree import IopQuery, MerkleTree, _build_levels, digest_to_bytes
 from .ntt import intt, lde
 from .transcript import Blake2sTranscript, bytes_to_challenge_index
 
+# h1 sizes at or above this run the query gather as per-oracle programs
+# (see the queries stage); env-overridable for tests
+import os as _os
+
+_GATHER_SPLIT_MIN = 1 << int(_os.environ.get("HODOR_GATHER_SPLIT_MIN", "23"))
+
 
 @dataclasses.dataclass
 class InstanceProof:
@@ -383,7 +389,22 @@ class Prover:
             idx_arrays += [jnp.asarray([x_h1], jnp.int32)] * len(f_oracles) + [
                 jnp.asarray([x_h2], jnp.int32)
             ]
-            gathered = jax.device_get(_gather_chain_queries(chain_data, idx_arrays))
+            # At configs[3] scale the ONE-program gather cannot compile:
+            # its arguments alone are 10.5 GiB (f/g/h values + FRI
+            # intermediates) and one dropped-tree rebuild adds ~5 GiB of
+            # temps — 15.81 GiB vs the 15.75 budget (run5h step_3). Per-
+            # oracle programs see only their own values; the dispatches
+            # pipeline and ONE fetch drains them, so the queries stage
+            # still pays a single transfer.
+            if h1_size >= _GATHER_SPLIT_MIN:
+                gathered = jax.device_get([
+                    _gather_chain_queries([cd], [ia])[0]
+                    for cd, ia in zip(chain_data, idx_arrays)
+                ])
+            else:
+                gathered = jax.device_get(
+                    _gather_chain_queries(chain_data, idx_arrays)
+                )
             n1, n2 = len(h1_plan[2]), len(h2_plan[2])
             fri_proof_h1 = NaiveFriIop._proof_from_gathered(
                 h1_proto, h1_plan[0], h1_plan[1], gathered[:n1], ops
