@@ -396,16 +396,38 @@ class Prover:
             # oracle programs see only their own values; the dispatches
             # pipeline and ONE fetch drains them, so the queries stage
             # still pays a single transfer.
+            n1, n2 = len(h1_plan[2]), len(h2_plan[2])
             if h1_size >= _GATHER_SPLIT_MIN:
-                gathered = jax.device_get([
-                    _gather_chain_queries([cd], [ia])[0]
-                    for cd, ia in zip(chain_data, idx_arrays)
-                ])
+                # SEQUENTIAL per-oracle gathers, freeing each oracle's
+                # committed values the moment its result lands: the
+                # pipelined form kept all 10.5 GiB of values resident
+                # while the 2^25-leaf rebuild needed ~5 GiB of temps
+                # and tipped HBM at runtime (run5h step_5). Every ref
+                # holder must drop: the plans' lists, the prototypes'
+                # intermediate_values, and the h1/h2 locals.
+                h1_plan[2].clear()
+                h2_plan[2].clear()
+                h1_proto.intermediate_values = [None] * len(
+                    h1_proto.intermediate_values
+                )
+                h2_proto.intermediate_values = [None] * len(
+                    h2_proto.intermediate_values
+                )
+                h1_lde = h2_lde = None
+                gathered = []
+                for k_entry in range(len(chain_data)):
+                    gathered.append(
+                        jax.device_get(
+                            _gather_chain_queries(
+                                [chain_data[k_entry]], [idx_arrays[k_entry]]
+                            )[0]
+                        )
+                    )
+                    chain_data[k_entry] = None
             else:
                 gathered = jax.device_get(
                     _gather_chain_queries(chain_data, idx_arrays)
                 )
-            n1, n2 = len(h1_plan[2]), len(h2_plan[2])
             fri_proof_h1 = NaiveFriIop._proof_from_gathered(
                 h1_proto, h1_plan[0], h1_plan[1], gathered[:n1], ops
             )
