@@ -504,7 +504,14 @@ class LimbOps:
         memory is O(POWERS_CHUNK), not O(n).
         """
         s = self.one_m if start is None else start
-        B = self.POWERS_CHUNK
+        # Chunk-block muls use the FUSED Pallas kernel when qualified:
+        # the jnp fallback's ~135-kernel unfused mul graph per block,
+        # scanned 128x per table and ~41 tables per FRI ladder, cost the
+        # first 2^20-row prove 787 s of launch overhead (run5i step_1).
+        # Pallas also allows 8x bigger blocks (its temps are VMEM-sized,
+        # not the (B, 256)-wide jnp convolution intermediates).
+        use_pallas = _pallas_enabled("mul")
+        B = (self.POWERS_CHUNK * 8) if use_pallas else self.POWERS_CHUNK
         if n > 2 * B:
             base = self.powers(x, B, start=s)  # (B, L): s * x^i
             xB = x
@@ -515,7 +522,10 @@ class LimbOps:
             nblocks = -(-n // B)
             factors = self.powers(xB, nblocks)  # (nblocks, L): x^(B*k)
             out = jax.lax.map(
-                lambda f: self.mul(base, f[None, :], allow_pallas=False),
+                lambda f: self.mul(
+                    jnp.broadcast_to(f[None, :], base.shape), base,
+                    allow_pallas=use_pallas,
+                ),
                 factors,
             )  # (nblocks, B, L)
             return out.reshape(nblocks * B, self.n16)[:n]
