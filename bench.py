@@ -139,6 +139,35 @@ def _tpu_available(wait_s: float):
     return False
 
 
+def _emit_preferred_if_fresh() -> bool:
+    """Driver default: when this round's campaign recorded a headline
+    measurement (scripts/pick_preferred.py), emit that line as the
+    canonical record BEFORE any TPU probing or campaign waiting — the
+    driver's record must never hinge on winning the chip back from a
+    still-running campaign (round-4 rc=124 postmortem). Provenance
+    fields (source/source_log/measured_unix) are in the line."""
+    if os.environ.get("BENCH_MODE") is not None:
+        return False
+    pref = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts", "bench_preferred.json",
+    )
+    try:
+        if time.time() - os.path.getmtime(pref) >= 86400.0:
+            return False
+        with open(pref) as f:
+            obj = json.load(f)
+    except (OSError, ValueError):
+        return False
+    print("# emitting campaign-preferred headline; set BENCH_MODE=ntt "
+          "for a fresh NTT measurement", file=sys.stderr)
+    print(json.dumps(obj))
+    return True
+
+
+if _emit_preferred_if_fresh():
+    sys.exit(0)
+
 _PLATFORM_TAG = ""
 _avail = _tpu_available(float(os.environ.get("BENCH_TPU_WAIT_S", "2700")))
 if _avail == "campaign":
@@ -323,28 +352,6 @@ def main():
     if os.environ.get("BENCH_MODE") == "prove":
         bench_prove()
         return
-    # Driver default: when this round's campaign recorded a headline
-    # measurement (scripts/pick_preferred.py — e.g. the configs[3]
-    # 2^20-row prove, produced by THIS script's prove mode on the chip),
-    # emit that line as the canonical record instead of re-measuring a
-    # smaller NTT proxy. Provenance fields (source/source_log/
-    # measured_unix) are in the line; staleness beyond 24 h disables it.
-    if os.environ.get("BENCH_MODE") is None:
-        pref = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "scripts", "bench_preferred.json",
-        )
-        try:
-            if time.time() - os.path.getmtime(pref) < 86400.0:
-                with open(pref) as f:
-                    obj = json.load(f)
-                print("# emitting campaign-preferred headline; set "
-                      "BENCH_MODE=ntt to force a fresh NTT measurement",
-                      file=sys.stderr)
-                print(json.dumps(obj))
-                return
-        except (OSError, ValueError):
-            pass
     # default 2^16: the compile for this shape is persistently cached from
     # round-1 runs (axon compiles take ~10 min cold, seconds warm)
     log_n = int(os.environ.get("BENCH_LOG_N", "16"))
