@@ -51,6 +51,11 @@ export BENCH_IN_CAMPAIGN=1
 step 1800 7200 env BENCH_MODE=prove BENCH_LOG_ROWS=20 python bench.py
 timeout 60 python scripts/pick_preferred.py 'quadratic_vdf_2.20_rows_prove_wall_s'
 
+# (2a) CubicVDF 2^18: 4 registers x batched cosets tripped stage1 at
+# runtime (run5i step_3) — big = 2^28 sits under the 2^29 auto-
+# sequential threshold; force the sequential coset loop.
+HODOR_LDE_SEQ_MIN=27 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=18 step 1200 5400 python bench.py
+
 # (2) CubicVDF 2^20: pair first, eager fallback
 if ! BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 1800 7200 python bench.py; then
   HODOR_FRI_EAGER=1 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 1800 7200 python bench.py
