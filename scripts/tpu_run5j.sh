@@ -57,8 +57,8 @@ timeout 60 python scripts/pick_preferred.py 'quadratic_vdf_2.20_rows_prove_wall_
 HODOR_LDE_SEQ_MIN=27 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=18 step 1200 5400 python bench.py
 
 # (2) CubicVDF 2^20: pair first, eager fallback
-if ! BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 1800 7200 python bench.py; then
-  HODOR_FRI_EAGER=1 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 1800 7200 python bench.py
+if ! HODOR_LDE_SEQ_MIN=27 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 1800 7200 python bench.py; then
+  HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 1800 7200 python bench.py
 fi
 
 # (3) batched proving beyond toy rows
