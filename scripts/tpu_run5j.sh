@@ -56,15 +56,15 @@ timeout 60 python scripts/pick_preferred.py 'quadratic_vdf_2.20_rows_prove_wall_
 # sequential threshold; force the sequential coset loop.
 HODOR_LDE_SEQ_MIN=27 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=18 step 1200 5400 python bench.py
 
+# (2b) batched proving beyond toy rows
+BENCH_BATCH=8 BENCH_MODE=prove BENCH_LOG_ROWS=14 step 1200 4800 python bench.py
+BENCH_BATCH=4 BENCH_MODE=prove BENCH_LOG_ROWS=16 step 1200 4800 python bench.py
+BENCH_BATCH=2 BENCH_MODE=prove BENCH_LOG_ROWS=18 step 900 4800 python bench.py
+
 # (2) CubicVDF 2^20: pair first, eager fallback
 if ! HODOR_LDE_SEQ_MIN=27 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 1800 7200 python bench.py; then
   HODOR_LDE_SEQ_MIN=27 HODOR_FRI_EAGER=1 BENCH_WORKLOAD=cubic BENCH_MODE=prove BENCH_LOG_ROWS=20 step 1800 7200 python bench.py
 fi
-
-# (3) batched proving beyond toy rows
-BENCH_BATCH=8 BENCH_MODE=prove BENCH_LOG_ROWS=14 step 1200 4800 python bench.py
-BENCH_BATCH=4 BENCH_MODE=prove BENCH_LOG_ROWS=16 step 1200 4800 python bench.py
-BENCH_BATCH=2 BENCH_MODE=prove BENCH_LOG_ROWS=18 step 900 4800 python bench.py
 
 # (4) honest NTT ladder
 NTT_REPS=20 step 240 2400 python scripts/tpu_bench.py ntt 16
