@@ -196,6 +196,80 @@ def _fri_chain(ops: LimbOps, lde_values, num_steps: int, omegas_inv, drop_min: i
     return tuple(trees), jnp.stack(roots), tuple(intermediate), final_coeffs
 
 
+# cache of jitted group programs: keyed by everything that shapes the
+# trace, so repeat proves REUSE the jits (a per-call jax.jit closure
+# would retrace + re-lookup ~85 programs per prove - part of the eager
+# ladder's 809 s pathology)
+_GROUP_CACHE: dict = {}
+
+
+def _fri_chain_grouped(ops: LimbOps, lde_values, num_steps: int, log_dom: int,
+                       drop_min: int):
+    """Middle ground between the one-program ladder (XLA temp assignment
+    spans all rounds -> runtime OOM at h1=2^24 beside ~7 GiB of prove
+    residents) and the per-round eager ladder (~2 programs per round ->
+    ~85 executable loads churning the tunnel at ~8 s each, run5i):
+    a HANDFUL of programs, each covering a slice of consecutive rounds
+    whose summed fold+commit footprint fits a budget. Outputs and
+    challenge chain are identical to _fri_chain (field ops exact)."""
+    import os as _os
+
+    from ..merkle.blake2s import digest_to_challenge_mont
+    from ..merkle.tree import _build_levels
+
+    n = lde_values.shape[0]
+    budget = 1 << int(_os.environ.get("HODOR_FRI_GROUP_LOG", "23"))
+    key = (ops.field, n, num_steps, drop_min, budget)
+    if key not in _GROUP_CACHE:
+        groups, cur, cost = [], [], 0
+        for i in range(num_steps):
+            size = n >> (i + 1)
+            if cur and cost + size > budget:
+                groups.append(tuple(cur))
+                cur, cost = [], 0
+            cur.append(i)
+            cost += size
+        if cur:
+            groups.append(tuple(cur))
+
+        @jax.jit
+        def _l0(v):
+            lh, lv = _build_levels(v)
+            tree = () if n >= drop_min else (lh, tuple(lv))
+            return tree, lv[-1][0], digest_to_challenge_mont(ops, lv[-1][0])
+
+        def _make_group(rounds):
+            @jax.jit
+            def _g(v, ch):
+                outs = []
+                for i in rounds:
+                    v = _fold_round_body(ops, v, ch, 1 << i, log_dom)
+                    lh, lv = _build_levels(v)
+                    tree = () if v.shape[0] >= drop_min else (lh, tuple(lv))
+                    ch = digest_to_challenge_mont(ops, lv[-1][0])
+                    outs.append((v, tree, lv[-1][0]))
+                return outs, ch
+            return _g
+
+        _GROUP_CACHE[key] = (_l0, [_make_group(g) for g in groups], groups)
+    l0_fn, group_fns, groups = _GROUP_CACHE[key]
+
+    trees, roots, intermediate = [], [], []
+    tree, root, challenge = l0_fn(lde_values)
+    trees.append(tree)
+    roots.append(root)
+    values = lde_values
+    for gf in group_fns:
+        outs, challenge = gf(values, challenge)
+        for v, tree, root in outs:
+            trees.append(tree)
+            roots.append(root)
+            intermediate.append(v)
+        values = outs[-1][0]
+    final_coeffs = jax.jit(lambda v: intt(ops, v))(values)
+    return tuple(trees), jnp.stack(roots), tuple(intermediate), final_coeffs
+
+
 def _fri_chain_eager(ops: LimbOps, lde_values, num_steps: int, omegas_inv,
                      drop_min: int):
     """OOM escape hatch (HODOR_FRI_EAGER=1): the same ladder as
@@ -259,6 +333,22 @@ def _eager_mode() -> bool:
     import os
 
     return os.environ.get("HODOR_FRI_EAGER", "0") == "1"
+
+
+def _chain_mode(n: int) -> str:
+    """one | eager | grouped. Default: the one-program form below 2^23
+    (fastest: 455 ms pair at the 2^18 shapes), grouped above (the
+    one-program form exhausts HBM at runtime beside configs[3]
+    residents; per-round eager churns ~85 program loads). Overrides:
+    HODOR_FRI_MODE=one|eager|grouped, HODOR_FRI_EAGER=1 (legacy)."""
+    import os
+
+    mode = os.environ.get("HODOR_FRI_MODE")
+    if mode in ("one", "eager", "grouped"):
+        return mode
+    if _eager_mode():
+        return "eager"
+    return "grouped" if n >= (1 << 23) else "one"
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3, 5, 6, 7))
@@ -370,7 +460,9 @@ class NaiveFriIop:
 
         from ..merkle.tree import tree_drop_min
 
-        chain = _fri_chain_eager if _eager_mode() else _fri_chain
+        mode = _chain_mode(n)
+        chain = {"eager": _fri_chain_eager, "grouped": _fri_chain_grouped,
+                 "one": _fri_chain}[mode]
         trees, roots_dev, intermediate_values, final_coeffs_dev = chain(
             ops, lde_values, num_steps, omegas_inv, tree_drop_min()
         )
@@ -398,16 +490,18 @@ class NaiveFriIop:
         )
         from ..merkle.tree import tree_drop_min
 
-        if _eager_mode():
-            (trees1, roots1, inter1, fc1) = _fri_chain_eager(
-                ops, lde1, steps[0], oms[0], tree_drop_min()
-            )
-            (trees2, roots2, inter2, fc2) = _fri_chain_eager(
-                ops, lde2, steps[1], oms[1], tree_drop_min()
-            )
-        else:
+        mode = _chain_mode(max(sizes))
+        if mode == "one":
             (trees1, roots1, inter1, fc1), (trees2, roots2, inter2, fc2) = _fri_chain_pair(
                 ops, lde1, steps[0], oms[0], lde2, steps[1], oms[1], tree_drop_min()
+            )
+        else:
+            chain = _fri_chain_eager if mode == "eager" else _fri_chain_grouped
+            (trees1, roots1, inter1, fc1) = chain(
+                ops, lde1, steps[0], oms[0], tree_drop_min()
+            )
+            (trees2, roots2, inter2, fc2) = chain(
+                ops, lde2, steps[1], oms[1], tree_drop_min()
             )
         r1, c1, r2, c2 = jax.device_get((roots1, fc1, roots2, fc2))  # ONE sync
         protos = []
